@@ -1,0 +1,118 @@
+"""Multi-head attention with 3D rotary PE — functional core.
+
+TPU-native replacement for the reference's fork of ``nn.MultiheadAttention``
+(reference: model/utils/multihead_custom_attention.py:157-462).  Differences
+by design:
+
+  * batch-major ``(B, L, E)`` layout throughout (the reference is seq-major
+    ``(L, N, E)`` and shuffles with transposes) — XLA keeps the lane dim last.
+  * no weight materialisation unless asked; softmax in float32.
+  * the rotary code is applied to the *full* embedding dim before the head
+    split, matching the reference (multihead_custom_attention.py:348-353).
+  * an optional fused Pallas path (``act3d_tpu.kernels``) is selected by the
+    caller; this module is the always-correct jnp reference.
+
+The unused memorizing-transformer gating branch of the reference
+(multihead_custom_attention.py:419-449) is intentionally not ported: it is
+dead code in every model config.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .rotary import embed_rotary
+
+__all__ = ["AttentionParams", "multi_head_attention"]
+
+
+class AttentionParams(NamedTuple):
+    """Projection weights. Kernels are (in_dim, out_dim) as in flax."""
+
+    wq: jax.Array  # (E, E)
+    wk: jax.Array
+    wv: jax.Array
+    wo: jax.Array
+    bq: Optional[jax.Array] = None  # (E,)
+    bk: Optional[jax.Array] = None
+    bv: Optional[jax.Array] = None
+    bo: Optional[jax.Array] = None
+
+
+def _proj(x: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Array:
+    y = jnp.einsum("...e,ef->...f", x, w)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def multi_head_attention(
+    params: AttentionParams,
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    num_heads: int,
+    *,
+    q_pe: Optional[jax.Array] = None,
+    k_pe: Optional[jax.Array] = None,
+    key_padding_mask: Optional[jax.Array] = None,
+    slot_competition: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Scaled dot-product multi-head attention.
+
+    Args:
+      query: (B, L, E); key/value: (B, S, E).
+      q_pe / k_pe: optional rotary codes (B, L, E, 2) / (B, S, E, 2).
+      key_padding_mask: optional (B, S) bool, True = masked out.
+      slot_competition: softmax over queries then renormalise over keys
+        (reference multihead_custom_attention.py:406-408).
+      dropout_rate / dropout_rng: attention-weight dropout (train only).
+
+    Returns:
+      (B, L, E) attention output after the output projection.
+    """
+    B, L, E = query.shape
+    head_dim = E // num_heads
+    scaling = head_dim**-0.5
+
+    q = _proj(query, params.wq, params.bq) * scaling
+    k = _proj(key, params.wk, params.bk)
+    v = _proj(value, params.wv, params.bv)
+
+    if q_pe is not None:
+        q = embed_rotary(q, q_pe)
+    if k_pe is not None:
+        k = embed_rotary(k, k_pe)
+
+    # (B, H, L, D)
+    q = q.reshape(B, L, num_heads, head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(B, -1, num_heads, head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(B, -1, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    scores = jnp.einsum(
+        "bhld,bhsd->bhls", q, k, preferred_element_type=jnp.float32
+    )
+    if key_padding_mask is not None:
+        scores = jnp.where(
+            key_padding_mask[:, None, None, :], -jnp.inf, scores
+        )
+
+    if slot_competition:
+        weights = jax.nn.softmax(scores, axis=-2) + 1e-8
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    else:
+        weights = jax.nn.softmax(scores, axis=-1)
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+
+    weights = weights.astype(v.dtype)
+    out = jnp.einsum("bhls,bhsd->bhld", weights, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
+    return _proj(out, params.wo, params.bo)

@@ -1,0 +1,95 @@
+"""Geometric helpers shared by the models (pure JAX).
+
+TPU-native equivalents of reference model/utils/utils.py:7-84 — all
+dynamic-shape / host-side constructs are replaced by static-shape
+``lax.top_k`` selections.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "find_traj_nn",
+    "topk_nearest_context",
+    "find_cylinder_points",
+    "normalise_quat",
+]
+
+from .rotations import normalise_quat  # re-export, single definition
+
+
+def find_traj_nn(
+    trajectory: jax.Array, point_cloud: jax.Array, nn_per_step: int = 64
+) -> jax.Array:
+    """Indices of the k·L point-cloud entries nearest to any trajectory point.
+
+    Mirrors reference ``find_traj_nn`` (model/utils/utils.py:38-48) with
+    ``lax.top_k`` instead of ``Tensor.topk``.
+
+    Args:
+      trajectory: (B, L, 3)
+      point_cloud: (B, P, 3)
+      nn_per_step: k; total selected indices = k * L.
+
+    Returns:
+      (B, k*L) int32 indices into P.
+    """
+    d2 = jnp.sum(
+        jnp.square(trajectory[:, :, None, :] - point_cloud[:, None, :, :]), axis=-1
+    )  # (B, L, P)
+    min_d2 = jnp.min(d2, axis=1)  # (B, P)
+    k = nn_per_step * trajectory.shape[1]
+    _, idx = jax.lax.top_k(-min_d2, k)
+    return idx
+
+
+def topk_nearest_context(
+    anchor: jax.Array, point_cloud: jax.Array, k: int
+) -> jax.Array:
+    """Indices of the k points nearest to a single anchor per batch element.
+
+    Replaces the fine-level context selection of Act3D (reference
+    act3d.py:244-254: L2 to last predicted position, ``topk(largest=False)``).
+
+    Args:
+      anchor: (B, 3) predicted position.
+      point_cloud: (B, P, 3) fine point-cloud pyramid level.
+      k: number of context tokens to keep (32*32*ncam in the reference).
+
+    Returns:
+      (B, k) int32 indices.
+    """
+    d2 = jnp.sum(jnp.square(anchor[:, None, :] - point_cloud), axis=-1)  # (B, P)
+    _, idx = jax.lax.top_k(-d2, k)
+    return idx
+
+
+def find_cylinder_points(
+    start: jax.Array, end: jax.Array, num_points: int, point_cloud: jax.Array
+) -> jax.Array:
+    """Boolean mask of cloud points within a 'cylinder' around segment start→end.
+
+    Mirrors reference ``find_cylinder_points`` (model/utils/utils.py:7-35):
+    the union of balls centred on ``num_points`` line samples, radius equal to
+    the max per-axis extent of (end - start).
+
+    Args:
+      start, end: (B, 3)
+      num_points: static line sample count.
+      point_cloud: (B, P, 3)
+
+    Returns:
+      (B, P) bool mask.
+    """
+    size = jnp.max(jnp.abs(end - start), axis=1)  # (B,)
+    ts = jnp.arange(num_points, dtype=jnp.float32)  # (n,)
+    slope = (end - start) / (num_points - 1)  # (B, 3)
+    line = start[:, None, :] + slope[:, None, :] * ts[None, :, None]  # (B, n, 3)
+    d = jnp.sqrt(
+        jnp.sum(
+            jnp.square(line[:, :, None, :] - point_cloud[:, None, :, :]), axis=-1
+        )
+    )  # (B, n, P)
+    return jnp.any(d <= size[:, None, None], axis=1)

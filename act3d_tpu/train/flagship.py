@@ -1,0 +1,133 @@
+"""Canonical model constructions + Trainer loss functions.
+
+Hyperparameters follow the reference training scripts:
+  * trajectory diffusion: emb 120, 6 query layers, 6D rotation, 100 DDPM
+    steps, goal-conditioned, instruction-conditioned
+    (reference scripts/train_trajectory.sh:6-41).
+  * Act3D keypose: emb 60, 1000/10000 ghost points, 3 levels, weight tying
+    (reference scripts/train_act3d.sh:9-52).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import Act3D, DiffusionPlanner
+from ..utils.testing import BOUNDS
+
+
+def make_diffusion_model(
+    image_size: Tuple[int, int] = (256, 256),
+    embedding_dim: int = 120,
+    gripper_loc_bounds=BOUNDS,
+    use_instruction: bool = True,
+    use_goal: bool = True,
+    diffusion_timesteps: int = 100,
+    num_query_cross_attn_layers: int = 6,
+) -> DiffusionPlanner:
+    return DiffusionPlanner(
+        image_size=image_size,
+        embedding_dim=embedding_dim,
+        output_dim=7,
+        num_query_cross_attn_layers=num_query_cross_attn_layers,
+        use_instruction=use_instruction,
+        use_goal=use_goal,
+        use_goal_at_test=False,  # chained mode: goal comes from Act3D
+        rotation_parametrization="6D",
+        diffusion_timesteps=diffusion_timesteps,
+        gripper_loc_bounds=tuple(map(tuple, gripper_loc_bounds)),
+    )
+
+
+def make_keypose_model(
+    image_size: Tuple[int, int] = (256, 256),
+    embedding_dim: int = 60,
+    gripper_loc_bounds=BOUNDS,
+    num_ghost_points: int = 1000,
+    num_ghost_points_val: int = 10000,
+    num_sampling_level: int = 3,
+    use_instruction: bool = True,
+) -> Act3D:
+    return Act3D(
+        image_size=image_size,
+        embedding_dim=embedding_dim,
+        num_attn_heads=4,
+        gripper_loc_bounds=tuple(map(tuple, gripper_loc_bounds)),
+        num_ghost_points=num_ghost_points,
+        num_ghost_points_val=num_ghost_points_val,
+        num_sampling_level=num_sampling_level,
+        weight_tying=True,
+        gp_emb_tying=True,
+        use_instruction=use_instruction,
+    )
+
+
+def diffusion_loss_fn(model: DiffusionPlanner):
+    """(params, batch, rng) -> (loss, aux) for the Trainer."""
+
+    def loss_fn(params, batch, rng):
+        dropout_rng, noise_rng = jax.random.split(rng)
+        loss = model.apply(
+            {"params": params},
+            batch["trajectory"],
+            batch["trajectory_mask"],
+            batch["rgbs"],
+            batch["pcds"],
+            batch["instr"],
+            batch["curr_gripper"],
+            batch["action"],
+            noise_rng=noise_rng,
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        return loss, {}
+
+    return loss_fn
+
+
+def diffusion_metrics_fn(model: DiffusionPlanner):
+    """(params, batch, rng) -> eval metric dict (deterministic loss)."""
+
+    def metrics_fn(params, batch, rng):
+        loss = model.apply(
+            {"params": params},
+            batch["trajectory"],
+            batch["trajectory_mask"],
+            batch["rgbs"],
+            batch["pcds"],
+            batch["instr"],
+            batch["curr_gripper"],
+            batch["action"],
+            noise_rng=rng,
+            deterministic=True,
+        )
+        return {"noise_mse": loss}
+
+    return metrics_fn
+
+
+def keypose_loss_fn(model: Act3D, criterion):
+    """(params, batch, rng) -> (loss, aux dict of sub-losses)."""
+
+    def loss_fn(params, batch, rng):
+        sample_rng, dropout_rng = jax.random.split(rng)
+        out = model.apply(
+            {"params": params},
+            batch["rgbs"],
+            batch["pcds"],
+            batch["instr"],
+            batch["curr_gripper"],
+            sample_rng=sample_rng,
+            gt_action=batch["action"],
+            train_mode=True,
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        losses = criterion.compute_loss(out, batch["action"])
+        total = sum(losses.values())
+        return total, losses
+
+    return loss_fn

@@ -1,0 +1,187 @@
+"""Act3D keypose training entry point.
+
+TPU-native equivalent of the reference ``main_keypose.py``:
+dataset → Act3D → jitted SPMD train loop with periodic keypose-metric
+evaluation and best/last checkpointing.
+
+Run:
+  python -m act3d_tpu.train.main_keypose \
+      --dataset /path/train --valset /path/val --tasks pick_and_lift \
+      --instructions instructions.pkl --use_instruction 1
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from ..core.config import KeyposeConfig, parse_config
+from ..data.dataset import RLBenchDataset
+from ..data.feeder import DeviceFeeder
+from ..models import Act3D
+from ..parallel.mesh import batch_sharding, make_mesh
+from ..train.engine import Trainer
+from ..train.flagship import keypose_loss_fn
+from ..train.losses import KeyposeLossAndMetrics
+from ..utils.registry import (
+    count_parameters,
+    get_gripper_loc_bounds,
+    load_instructions,
+)
+
+
+def main(argv=None):
+    cfg = parse_config(KeyposeConfig, argv)
+    if cfg.gripper_loc_bounds is None:
+        bounds = np.array([[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0]])
+    else:
+        bounds = get_gripper_loc_bounds(
+            cfg.gripper_loc_bounds,
+            task=cfg.tasks[0] if len(cfg.tasks) == 1 else None,
+            buffer=0.04,
+        )
+    cfg.save(cfg.log_dir / "hparams.json")
+
+    instruction = load_instructions(
+        cfg.instructions, tasks=cfg.tasks, variations=cfg.variations
+    )
+    if instruction is None:
+        raise NotImplementedError("instructions.pkl is required")
+    taskvar = [
+        (task, var)
+        for task, var_instr in instruction.items()
+        for var in var_instr.keys()
+    ]
+
+    common = dict(
+        instructions=instruction,
+        taskvar=taskvar,
+        max_episode_length=cfg.max_episode_length,
+        max_episodes_per_task=cfg.max_episodes_per_task,
+        cameras=cfg.cameras,
+        gripper_loc_bounds=bounds,
+        image_rescale=cfg.image_rescale_tuple,
+        point_cloud_rotate_yaw_range=cfg.point_cloud_rotate_yaw_range,
+        return_low_lvl_trajectory=False,
+        action_dim=8,
+        seed=cfg.seed,
+    )
+    train_ds = RLBenchDataset(
+        root=cfg.dataset, cache_size=cfg.cache_size, training=True,
+        num_iters=cfg.train_iters, **common,
+    )
+    val_ds = RLBenchDataset(
+        root=cfg.valset, cache_size=cfg.cache_size_val, training=False,
+        **common,
+    )
+
+    model = Act3D(
+        backbone=cfg.backbone,
+        image_size=cfg.image_size_tuple,
+        embedding_dim=cfg.embedding_dim,
+        num_ghost_point_cross_attn_layers=cfg.num_ghost_point_cross_attn_layers,
+        num_query_cross_attn_layers=cfg.num_query_cross_attn_layers,
+        num_vis_ins_attn_layers=cfg.num_vis_ins_attn_layers,
+        rotation_parametrization=cfg.rotation_parametrization,
+        gripper_loc_bounds=tuple(map(tuple, bounds)),
+        num_ghost_points=cfg.num_ghost_points,
+        num_ghost_points_val=cfg.num_ghost_points_val,
+        weight_tying=bool(cfg.weight_tying),
+        gp_emb_tying=bool(cfg.gp_emb_tying),
+        num_sampling_level=cfg.num_sampling_level,
+        fine_sampling_ball_diameter=cfg.fine_sampling_ball_diameter,
+        regress_position_offset=bool(cfg.regress_position_offset),
+        use_instruction=bool(cfg.use_instruction),
+    )
+    criterion = KeyposeLossAndMetrics(
+        position_loss=cfg.position_loss,
+        rotation_parametrization=cfg.rotation_parametrization,
+        ground_truth_gaussian_spread=cfg.ground_truth_gaussian_spread,
+        label_smoothing=cfg.label_smoothing,
+        position_loss_coeff=cfg.position_loss_coeff,
+        position_offset_loss_coeff=cfg.position_offset_loss_coeff,
+        rotation_loss_coeff=cfg.rotation_loss_coeff,
+        gripper_loss_coeff=cfg.gripper_loss_coeff,
+        symmetric_rotation_loss=bool(cfg.symmetric_rotation_loss),
+    )
+
+    def to_model_batch(b):
+        return {
+            "rgbs": b["rgbs"],
+            "pcds": b["pcds"],
+            "instr": b["instr"],
+            "curr_gripper": b["curr_gripper"],
+            "action": b["action"],
+        }
+
+    example = to_model_batch(train_ds.sample_batch(cfg.batch_size))
+    variables = model.init(
+        jax.random.PRNGKey(cfg.seed),
+        example["rgbs"], example["pcds"], example["instr"],
+        example["curr_gripper"],
+        sample_rng=jax.random.PRNGKey(0), gt_action=example["action"],
+    )
+    print("Model parameters:", count_parameters(variables["params"]))
+
+    def metrics_fn(params, batch, rng):
+        out = model.apply(
+            {"params": params},
+            batch["rgbs"], batch["pcds"], batch["instr"],
+            batch["curr_gripper"],
+            sample_rng=rng,
+            gt_action=batch["action"]
+            if cfg.use_ground_truth_position_for_sampling_val
+            else None,
+            train_mode=False,
+        )
+        return criterion.compute_metrics(out, batch["action"])
+
+    mesh = make_mesh(None if cfg.num_devices < 0 else cfg.num_devices)
+    trainer = Trainer(
+        keypose_loss_fn(model, criterion),
+        variables["params"],
+        metrics_fn=metrics_fn,
+        lr=cfg.lr,
+        accumulate_grad_batches=cfg.accumulate_grad_batches,
+        mesh=mesh,
+        log_dir=cfg.log_dir,
+        use_tensorboard=bool(cfg.use_tensorboard),
+    )
+    if cfg.checkpoint:
+        trainer.load_checkpoint(cfg.checkpoint)
+
+    feeder = DeviceFeeder(
+        lambda: to_model_batch(train_ds.sample_batch(cfg.batch_size)),
+        sharding=batch_sharding(mesh),
+    )
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    start = int(trainer.state.step)
+    for step_id in range(start, cfg.train_iters):
+        batch = next(feeder)
+        rng, sub = jax.random.split(rng)
+        out = trainer.step(batch, sub)
+        if (step_id + 1) % cfg.val_freq == 0:
+            loss = float(out["loss"])
+            n_val = max(5, 4 * max(len(cfg.tasks), 1) // cfg.batch_size_val)
+            val_batches = [
+                to_model_batch(val_ds.sample_batch(cfg.batch_size_val))
+                for _ in range(n_val)
+            ]
+            rng, sub = jax.random.split(rng)
+            val_metrics = trainer.evaluate(val_batches, sub)
+            if trainer.logger:
+                trainer.logger.log(
+                    step_id,
+                    {"train-loss/total": loss}
+                    | {f"val-losses/{k}": v for k, v in val_metrics.items()},
+                )
+            trainer.save_checkpoint(
+                cfg.log_dir, new_loss=val_metrics.get("pos_l2_final", loss)
+            )
+            print(f"Step {step_id}: loss {loss:.4f} val {val_metrics}")
+    feeder.close()
+
+
+if __name__ == "__main__":
+    main()

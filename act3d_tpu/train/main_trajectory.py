@@ -1,0 +1,172 @@
+"""Trajectory-diffusion training entry point.
+
+TPU-native equivalent of the reference ``main_trajectory.py``:
+dataset → DiffusionPlanner → jitted SPMD train loop with periodic
+evaluation and best/last checkpointing.
+
+Run:
+  python -m act3d_tpu.train.main_trajectory \
+      --dataset /path/train --valset /path/val --tasks pick_and_lift \
+      --instructions instructions.pkl --dense_interpolation 1 \
+      --interpolation_length 50 --use_goal 1 --use_instruction 1
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from ..core.config import TrajectoryConfig, parse_config
+from ..data.dataset import RLBenchDataset
+from ..data.feeder import DeviceFeeder
+from ..models import DiffusionPlanner
+from ..parallel.mesh import batch_sharding, make_mesh
+from ..train.engine import Trainer
+from ..train.flagship import diffusion_loss_fn
+from ..train.losses import TrajectoryCriterion
+from ..utils.registry import get_gripper_loc_bounds, load_instructions
+
+
+def build_datasets(cfg: TrajectoryConfig, instruction):
+    taskvar = [
+        (task, var)
+        for task, var_instr in instruction.items()
+        for var in var_instr.keys()
+    ]
+    common = dict(
+        instructions=instruction,
+        taskvar=taskvar,
+        max_episode_length=cfg.max_episode_length,
+        max_episodes_per_task=cfg.max_episodes_per_task,
+        cameras=cfg.cameras,
+        gripper_loc_bounds=cfg.bounds,
+        image_rescale=cfg.image_rescale_tuple,
+        point_cloud_rotate_yaw_range=cfg.point_cloud_rotate_yaw_range,
+        return_low_lvl_trajectory=True,
+        dense_interpolation=bool(cfg.dense_interpolation),
+        interpolation_length=cfg.interpolation_length,
+        action_dim=cfg.action_dim,
+        seed=cfg.seed,
+    )
+    train = RLBenchDataset(
+        root=cfg.dataset, cache_size=cfg.cache_size, training=True,
+        num_iters=cfg.train_iters, **common,
+    )
+    val = RLBenchDataset(
+        root=cfg.valset, cache_size=cfg.cache_size_val, training=False,
+        **common,
+    )
+    return train, val
+
+
+def main(argv=None):
+    cfg = parse_config(TrajectoryConfig, argv)
+    if cfg.gripper_loc_bounds is None:
+        cfg.bounds = np.array([[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0]])
+    else:
+        cfg.bounds = get_gripper_loc_bounds(
+            cfg.gripper_loc_bounds,
+            task=cfg.tasks[0] if len(cfg.tasks) == 1 else None,
+            buffer=0.04,
+        )
+    cfg.save(cfg.log_dir / "hparams.json")
+
+    instruction = load_instructions(
+        cfg.instructions, tasks=cfg.tasks, variations=cfg.variations
+    )
+    if instruction is None:
+        raise NotImplementedError("instructions.pkl is required")
+
+    train_ds, val_ds = build_datasets(cfg, instruction)
+
+    model = DiffusionPlanner(
+        backbone=cfg.backbone,
+        image_size=cfg.image_size_tuple,
+        embedding_dim=cfg.embedding_dim,
+        output_dim=cfg.action_dim,
+        num_vis_ins_attn_layers=cfg.num_vis_ins_attn_layers,
+        num_query_cross_attn_layers=cfg.num_query_cross_attn_layers,
+        use_instruction=bool(cfg.use_instruction),
+        use_goal=bool(cfg.use_goal),
+        use_goal_at_test=bool(cfg.use_goal_at_test),
+        feat_scales_to_use=cfg.feat_scales_to_use,
+        attn_rounds=cfg.attn_rounds,
+        rotation_parametrization=cfg.rotation_parametrization,
+        diffusion_timesteps=cfg.diffusion_timesteps,
+        gripper_loc_bounds=tuple(map(tuple, cfg.bounds)),
+    )
+
+    def to_model_batch(b):
+        return {
+            "trajectory": b["trajectory"],
+            "trajectory_mask": b["trajectory_mask"],
+            "rgbs": b["rgbs"],
+            "pcds": b["pcds"],
+            "instr": b["instr"],
+            "curr_gripper": b["curr_gripper"],
+            "action": b["action"],
+        }
+
+    example = to_model_batch(train_ds.sample_batch(cfg.batch_size))
+    variables = model.init(
+        jax.random.PRNGKey(cfg.seed),
+        example["trajectory"], example["trajectory_mask"], example["rgbs"],
+        example["pcds"], example["instr"], example["curr_gripper"],
+        example["action"], noise_rng=jax.random.PRNGKey(0),
+    )
+    from ..utils.registry import count_parameters
+
+    print("Model parameters:", count_parameters(variables["params"]))
+
+    from ..train.flagship import diffusion_metrics_fn
+
+    mesh = make_mesh(None if cfg.num_devices < 0 else cfg.num_devices)
+    trainer = Trainer(
+        diffusion_loss_fn(model),
+        variables["params"],
+        metrics_fn=diffusion_metrics_fn(model),
+        lr=cfg.lr,
+        accumulate_grad_batches=cfg.accumulate_grad_batches,
+        mesh=mesh,
+        log_dir=cfg.log_dir,
+        use_tensorboard=bool(cfg.use_tensorboard),
+    )
+    if cfg.checkpoint:
+        trainer.load_checkpoint(cfg.checkpoint)
+
+    feeder = DeviceFeeder(
+        lambda: to_model_batch(train_ds.sample_batch(cfg.batch_size)),
+        sharding=batch_sharding(mesh),
+    )
+
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    start = int(trainer.state.step)
+    for step_id in range(start, cfg.train_iters):
+        batch = next(feeder)
+        rng, sub = jax.random.split(rng)
+        out = trainer.step(batch, sub)
+        if (step_id + 1) % cfg.val_freq == 0:
+            loss = float(out["loss"])
+            n_val = max(5, 4 * max(len(cfg.tasks), 1) // cfg.batch_size_val)
+            val_batches = [
+                to_model_batch(val_ds.sample_batch(cfg.batch_size_val))
+                for _ in range(n_val)
+            ]
+            rng, sub = jax.random.split(rng)
+            val_metrics = trainer.evaluate(val_batches, sub)
+            if trainer.logger:
+                trainer.logger.log(
+                    step_id,
+                    {"train-loss/noise_mse": loss}
+                    | {f"val-losses/{k}": v for k, v in val_metrics.items()},
+                )
+            trainer.save_checkpoint(
+                cfg.log_dir, new_loss=val_metrics.get("noise_mse", loss)
+            )
+            print(f"Step {step_id}: loss {loss:.4f} val {val_metrics}")
+    feeder.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Headline benchmark: ChainedDiffuser training throughput on one TPU chip.
+
+Measures the jitted SPMD training step (forward + backward + AdamW) of the
+flagship trajectory-diffusion model at the reference's training scale
+(reference scripts/train_trajectory.sh:6-41: batch 22, emb 120, 3 cameras,
+256x256 RGB-D, trajectory length 50, instruction + goal conditioning).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured throughput divided by an assumed A100 reference of
+ASSUMED_A100_SAMPLES_PER_SEC (the reference repo publishes no numbers —
+BASELINE.md; this constant documents the assumption).  The north-star target
+of >= 3x A100 per chip (BASELINE.json) therefore corresponds to
+vs_baseline >= 3.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+ASSUMED_A100_SAMPLES_PER_SEC = 80.0
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "22"))
+    ncam = int(os.environ.get("BENCH_NCAM", "3"))
+    size = int(os.environ.get("BENCH_IMAGE_SIZE", "256"))
+    traj_len = int(os.environ.get("BENCH_TRAJ_LEN", "50"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    from act3d_tpu.parallel.mesh import make_mesh
+    from act3d_tpu.train.engine import Trainer
+    from act3d_tpu.train.flagship import diffusion_loss_fn, make_diffusion_model
+    from act3d_tpu.utils.testing import synthetic_trajectory_batch
+
+    model = make_diffusion_model(image_size=(size, size))
+    data = synthetic_trajectory_batch(
+        batch=batch, ncam=ncam, image_size=(size, size), traj_len=traj_len
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        data["trajectory"], data["trajectory_mask"], data["rgbs"],
+        data["pcds"], data["instr"], data["curr_gripper"], data["action"],
+        noise_rng=jax.random.PRNGKey(1),
+    )
+    mesh = make_mesh(num_devices=1)
+    trainer = Trainer(diffusion_loss_fn(model), variables["params"], mesh=mesh)
+
+    rng = jax.random.PRNGKey(2)
+    # compile + warmup
+    rng, sub = jax.random.split(rng)
+    out = trainer.step(data, sub)
+    jax.block_until_ready(out["loss"])
+    rng, sub = jax.random.split(rng)
+    jax.block_until_ready(trainer.step(data, sub)["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        rng, sub = jax.random.split(rng)
+        out = trainer.step(data, sub)
+    jax.block_until_ready(out["loss"])
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = batch * steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "diffusion_train_samples_per_sec_per_chip",
+                "value": round(samples_per_sec, 3),
+                "unit": "samples/sec",
+                "vs_baseline": round(
+                    samples_per_sec / ASSUMED_A100_SAMPLES_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,31 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set env vars before the first jax import anywhere in the test session.
+NOTE: in this environment JAX_PLATFORMS is overridden by the TPU plugin;
+JAX_PLATFORM_NAME + an explicit config update are authoritative.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
