@@ -1,0 +1,196 @@
+"""Closed-loop chained evaluation CLI.
+
+Equivalent of reference online_evaluation/eval1.py: load an Act3D keypose
+checkpoint + a DiffusionPlanner trajectory checkpoint, evaluate the chained
+policy on stored RLBench demos task-by-task, dump success rates to JSON.
+
+Checkpoints load from either this framework's .msgpack trainer checkpoints
+or reference .pth torch checkpoints (via act3d_tpu.convert, stripping DDP
+prefixes like eval1.py:137-153).
+
+Run:
+  python -m act3d_tpu.eval.main \
+      --data_dir /path/raw_demos --tasks pick_and_lift \
+      --instructions instructions.pkl \
+      --keypose_ckpt act3d_best.pth --traj_ckpt traj_best.pth \
+      --gripper_loc_bounds bounds.json --output eval_results.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..models import Act3D, DiffusionPlanner
+from ..utils.registry import get_gripper_loc_bounds, load_instructions
+from .actioner import Actioner
+from .rlbench_env import RLBenchEnv
+
+
+def load_params(path: str, model, example_init_fn, convert_fn):
+    """Load .msgpack (native) or .pth (reference torch) checkpoints."""
+    path = Path(path)
+    if path.suffix == ".pth":
+        import torch
+
+        state = torch.load(path, map_location="cpu")
+        state = state.get("weight", state)
+        variables = example_init_fn()
+        return convert_fn(state, variables["params"])
+    from flax import serialization
+
+    variables = example_init_fn()
+    payload = serialization.msgpack_restore(path.read_bytes())
+    return serialization.from_state_dict(
+        variables["params"], payload["params"]
+    )
+
+
+def build_models(args, bounds):
+    import jax
+
+    image_size = tuple(int(x) for x in args.image_size.split(","))
+    ncam = len(args.cameras)
+    h, w = image_size
+
+    keypose_model = Act3D(
+        image_size=image_size,
+        embedding_dim=args.keypose_embedding_dim,
+        num_ghost_points=args.num_ghost_points,
+        num_ghost_points_val=args.num_ghost_points_val,
+        num_sampling_level=args.num_sampling_level,
+        gripper_loc_bounds=tuple(map(tuple, bounds)),
+        use_instruction=True,
+    )
+    traj_model = DiffusionPlanner(
+        image_size=image_size,
+        embedding_dim=args.traj_embedding_dim,
+        output_dim=7,
+        num_query_cross_attn_layers=args.num_query_cross_attn_layers,
+        use_instruction=True,
+        use_goal=True,
+        use_goal_at_test=False,  # chained: goal comes from Act3D
+        rotation_parametrization="6D",
+        diffusion_timesteps=args.diffusion_timesteps,
+        gripper_loc_bounds=tuple(map(tuple, bounds)),
+    )
+
+    def keypose_init():
+        rgb = np.zeros((1, ncam, 3, h, w), np.float32)
+        instr = np.zeros((1, 53, 512), np.float32)
+        grip = np.zeros((1, 8), np.float32)
+        return keypose_model.init(
+            jax.random.PRNGKey(0), rgb, rgb, instr, grip,
+            sample_rng=jax.random.PRNGKey(0), train_mode=False,
+        )
+
+    def traj_init():
+        rgb = np.zeros((1, ncam, 3, h, w), np.float32)
+        instr = np.zeros((1, 53, 512), np.float32)
+        grip = np.zeros((1, 7), np.float32)
+        traj = np.zeros((1, args.interpolation_length, 7), np.float32)
+        mask = np.zeros((1, args.interpolation_length), bool)
+        return traj_model.init(
+            jax.random.PRNGKey(0), traj, mask, rgb, rgb, instr, grip, grip,
+            noise_rng=jax.random.PRNGKey(0),
+        )
+
+    from ..convert.torch_to_jax import convert_act3d, convert_diffusion_planner
+
+    keypose_params = load_params(
+        args.keypose_ckpt, keypose_model, keypose_init,
+        lambda sd, tpl: convert_act3d(
+            sd, tpl, num_sampling_level=args.num_sampling_level
+        ),
+    )
+    traj_params = load_params(
+        args.traj_ckpt, traj_model, traj_init,
+        lambda sd, tpl: convert_diffusion_planner(
+            sd, tpl,
+            num_query_cross_attn_layers=args.num_query_cross_attn_layers,
+        ),
+    )
+    return keypose_model, keypose_params, traj_model, traj_params
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--tasks", nargs="+", required=True)
+    p.add_argument("--variations", nargs="*", type=int, default=[-1])
+    p.add_argument("--instructions", required=True)
+    p.add_argument("--keypose_ckpt", required=True)
+    p.add_argument("--traj_ckpt", required=True)
+    p.add_argument("--gripper_loc_bounds", default=None)
+    p.add_argument("--image_size", default="256,256")
+    p.add_argument(
+        "--cameras", nargs="*",
+        default=["left_shoulder", "right_shoulder", "wrist"],
+    )
+    p.add_argument("--keypose_embedding_dim", type=int, default=60)
+    p.add_argument("--traj_embedding_dim", type=int, default=120)
+    p.add_argument("--num_ghost_points", type=int, default=1000)
+    p.add_argument("--num_ghost_points_val", type=int, default=10000)
+    p.add_argument("--num_sampling_level", type=int, default=3)
+    p.add_argument("--num_query_cross_attn_layers", type=int, default=6)
+    p.add_argument("--diffusion_timesteps", type=int, default=100)
+    p.add_argument("--interpolation_length", type=int, default=50)
+    p.add_argument("--num_demos", type=int, default=100)
+    p.add_argument("--max_tries", type=int, default=2)
+    p.add_argument("--max_steps", type=int, default=25)
+    p.add_argument("--headless", type=int, default=1)
+    p.add_argument("--output", default="eval_results.json")
+    args = p.parse_args(argv)
+
+    if args.gripper_loc_bounds:
+        bounds = get_gripper_loc_bounds(
+            args.gripper_loc_bounds,
+            task=args.tasks[0] if len(args.tasks) == 1 else None,
+            buffer=0.04,
+        )
+    else:
+        bounds = np.array([[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0]])
+
+    keypose_model, keypose_params, traj_model, traj_params = build_models(
+        args, bounds
+    )
+    instructions = load_instructions(args.instructions, tasks=args.tasks)
+
+    actioner = Actioner(
+        keypose_model=keypose_model,
+        keypose_params=keypose_params,
+        traj_model=traj_model,
+        traj_params=traj_params,
+        instructions=instructions,
+        predict_keypose=True,
+        predict_trajectory=True,
+    )
+    env = RLBenchEnv(
+        data_path=args.data_dir,
+        image_size=tuple(int(x) for x in args.image_size.split(",")),
+        apply_cameras=tuple(args.cameras),
+        headless=bool(args.headless),
+    )
+
+    results = {}
+    for task in args.tasks:
+        rates = env.evaluate_task_on_multiple_variations(
+            task,
+            max_steps=args.max_steps,
+            num_variations=args.variations[0],
+            num_demos=args.num_demos,
+            actioner=actioner,
+            max_tries=args.max_tries,
+            dense_interpolation=True,
+            interpolation_length=args.interpolation_length,
+        )
+        results[task] = rates
+        print(task, rates)
+        json.dump(results, open(args.output, "w"), indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -319,8 +319,9 @@ class RLBenchEnv:
         return success_rate * num_demos / (num_demos - missing_demos), True
 
     # ---------------------------------------------------------------- misc
+    @staticmethod
     def create_obs_config(
-        self, image_size, apply_rgb, apply_depth, apply_pc, apply_cameras
+        image_size, apply_rgb, apply_depth, apply_pc, apply_cameras
     ):
         unused_cams = CameraConfig()
         unused_cams.set_all(False)

@@ -19,6 +19,7 @@ dead code in every model config.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -26,7 +27,16 @@ import jax.numpy as jnp
 
 from .rotary import embed_rotary
 
-__all__ = ["AttentionParams", "multi_head_attention"]
+__all__ = ["AttentionParams", "multi_head_attention", "use_fused_attention"]
+
+_FUSED = {"enabled": os.environ.get("ACT3D_FUSED_ATTENTION", "0") == "1"}
+
+
+def use_fused_attention(enabled: bool = True):
+    """Route eligible attention cores through the Pallas kernel
+    (act3d_tpu.kernels.attention).  Eligible = no slot competition, no
+    attention-weight dropout."""
+    _FUSED["enabled"] = enabled
 
 
 class AttentionParams(NamedTuple):
@@ -88,6 +98,14 @@ def multi_head_attention(
         q = embed_rotary(q, q_pe)
     if k_pe is not None:
         k = embed_rotary(k, k_pe)
+
+    if _FUSED["enabled"] and not slot_competition and dropout_rate == 0.0:
+        from ..kernels.attention import fused_cross_attention
+
+        out = fused_cross_attention(
+            q, k, v, num_heads, key_padding_mask=key_padding_mask
+        )
+        return _proj(out, params.wo, params.bo)
 
     # (B, H, L, D)
     q = q.reshape(B, L, num_heads, head_dim).transpose(0, 2, 1, 3)

@@ -53,6 +53,13 @@ def main():
     mesh = make_mesh(num_devices=1)
     trainer = Trainer(diffusion_loss_fn(model), variables["params"], mesh=mesh)
 
+    # pre-transfer the batch once: device_put of an already-sharded array is
+    # a no-op, so steps measure pure device compute (the real input pipeline
+    # overlaps H2D via data.feeder.DeviceFeeder)
+    from act3d_tpu.parallel.mesh import shard_batch
+
+    data = shard_batch(data, mesh)
+
     rng = jax.random.PRNGKey(2)
     # compile + warmup
     rng, sub = jax.random.split(rng)

@@ -1,0 +1,82 @@
+"""Pallas fused-attention kernel vs the jnp reference path.
+
+On CPU the kernel runs in interpreter mode; the compiled path is exercised
+by bench/TPU runs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from act3d_tpu.kernels.attention import attention_core, fused_cross_attention
+
+
+def _reference(qh, kh, vh, mask=None):
+    scores = jnp.einsum("bld,bsd->bls", qh, kh)
+    if mask is not None:
+        scores = jnp.where(mask[:, None, :], -jnp.inf, scores)
+    w = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bls,bsd->bld", w, vh)
+
+
+@pytest.mark.parametrize("l,s,d", [(64, 96, 16), (100, 57, 15), (512, 300, 8)])
+def test_attention_core_matches_reference(rng, l, s, d):
+    bh = 4
+    q = jnp.asarray(rng.normal(size=(bh, l, d)).astype(np.float32)) * d**-0.5
+    k = jnp.asarray(rng.normal(size=(bh, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(bh, s, d)).astype(np.float32))
+    got = attention_core(q, k, v, l_tile=64, interpret=True)
+    want = _reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_attention_core_with_mask(rng):
+    bh, l, s, d = 2, 32, 40, 16
+    q = jnp.asarray(rng.normal(size=(bh, l, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(bh, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(bh, s, d)).astype(np.float32))
+    mask = np.zeros((bh, s), bool)
+    mask[0, -10:] = True
+    mask[1, :5] = True
+    got = attention_core(
+        q, k, v, jnp.asarray(mask), l_tile=32, interpret=True
+    )
+    want = _reference(q, k, v, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_multi_head_wrapper_matches_jnp_path(rng):
+    from act3d_tpu.ops.attention import AttentionParams, multi_head_attention
+    from act3d_tpu.ops import attention as attn_mod
+
+    E, H, B, L, S = 32, 4, 2, 50, 70
+    mk = lambda *shape: rng.normal(size=shape).astype(np.float32) * 0.1
+    params = AttentionParams(
+        wq=jnp.asarray(mk(E, E)), wk=jnp.asarray(mk(E, E)),
+        wv=jnp.asarray(mk(E, E)), wo=jnp.asarray(mk(E, E)),
+        bq=jnp.asarray(mk(E)), bk=jnp.asarray(mk(E)),
+        bv=jnp.asarray(mk(E)), bo=jnp.asarray(mk(E)),
+    )
+    q = jnp.asarray(mk(B, L, E) * 10)
+    kv = jnp.asarray(mk(B, S, E) * 10)
+
+    want = multi_head_attention(params, q, kv, kv, H)
+
+    # interpret-mode fused path (kernels are compiled only on TPU)
+    import act3d_tpu.kernels.attention as kmod
+
+    orig = kmod.attention_core
+    kmod.attention_core = lambda *a, **k: orig(
+        *a, **{**k, "interpret": True}
+    )
+    try:
+        attn_mod.use_fused_attention(True)
+        got = multi_head_attention(params, q, kv, kv, H)
+    finally:
+        attn_mod.use_fused_attention(False)
+        kmod.attention_core = orig
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
+    )
