@@ -126,6 +126,10 @@ class Trainer:
             self.tx = optax.MultiSteps(
                 self.tx, every_k_schedule=accumulate_grad_batches
             )
+        # Copy before replicating: the step function donates its state, and
+        # device_put aliases already-on-device arrays — without the copy the
+        # caller's params would be deleted by the first step.
+        params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         params = replicate(params, self.mesh)
         opt_state = jax.jit(
             self.tx.init, out_shardings=replicated_sharding(self.mesh)

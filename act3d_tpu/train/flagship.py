@@ -65,25 +65,39 @@ def make_keypose_model(
     )
 
 
-def diffusion_loss_fn(model: DiffusionPlanner):
-    """(params, batch, rng) -> (loss, aux) for the Trainer."""
+def _cast_tree(tree, dtype):
+    """Cast f32 leaves (mixed precision: f32 master weights stay with the
+    optimizer; gradients transpose back through the cast to f32)."""
+    if dtype is None:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
+    )
+
+
+def diffusion_loss_fn(model: DiffusionPlanner, compute_dtype=None):
+    """(params, batch, rng) -> (loss, aux) for the Trainer.
+
+    compute_dtype=jnp.bfloat16 runs the network in bf16 (halved HBM
+    traffic) with f32 master weights and f32 loss.
+    """
 
     def loss_fn(params, batch, rng):
         dropout_rng, noise_rng = jax.random.split(rng)
         loss = model.apply(
-            {"params": params},
-            batch["trajectory"],
+            {"params": _cast_tree(params, compute_dtype)},
+            _cast_tree(batch["trajectory"], compute_dtype),
             batch["trajectory_mask"],
-            batch["rgbs"],
-            batch["pcds"],
-            batch["instr"],
-            batch["curr_gripper"],
-            batch["action"],
+            _cast_tree(batch["rgbs"], compute_dtype),
+            _cast_tree(batch["pcds"], compute_dtype),
+            _cast_tree(batch["instr"], compute_dtype),
+            _cast_tree(batch["curr_gripper"], compute_dtype),
+            _cast_tree(batch["action"], compute_dtype),
             noise_rng=noise_rng,
             deterministic=False,
             rngs={"dropout": dropout_rng},
         )
-        return loss, {}
+        return loss.astype(jnp.float32), {}
 
     return loss_fn
 
@@ -109,22 +123,29 @@ def diffusion_metrics_fn(model: DiffusionPlanner):
     return metrics_fn
 
 
-def keypose_loss_fn(model: Act3D, criterion):
+def keypose_loss_fn(model: Act3D, criterion, compute_dtype=None):
     """(params, batch, rng) -> (loss, aux dict of sub-losses)."""
 
     def loss_fn(params, batch, rng):
         sample_rng, dropout_rng = jax.random.split(rng)
         out = model.apply(
-            {"params": params},
-            batch["rgbs"],
-            batch["pcds"],
-            batch["instr"],
-            batch["curr_gripper"],
+            {"params": _cast_tree(params, compute_dtype)},
+            _cast_tree(batch["rgbs"], compute_dtype),
+            _cast_tree(batch["pcds"], compute_dtype),
+            _cast_tree(batch["instr"], compute_dtype),
+            _cast_tree(batch["curr_gripper"], compute_dtype),
             sample_rng=sample_rng,
             gt_action=batch["action"],
             train_mode=True,
             deterministic=False,
             rngs={"dropout": dropout_rng},
+        )
+        # losses in f32 regardless of compute dtype
+        out = jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+            else x,
+            out,
         )
         losses = criterion.compute_loss(out, batch["action"])
         total = sum(losses.values())

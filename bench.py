@@ -28,15 +28,7 @@ import numpy as np
 ASSUMED_A100_SAMPLES_PER_SEC = 80.0
 
 
-def main():
-    batch = int(os.environ.get("BENCH_BATCH", "22"))
-    ncam = int(os.environ.get("BENCH_NCAM", "3"))
-    size = int(os.environ.get("BENCH_IMAGE_SIZE", "256"))
-    traj_len = int(os.environ.get("BENCH_TRAJ_LEN", "50"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
-
-    from act3d_tpu.parallel.mesh import make_mesh
-    from act3d_tpu.train.engine import Trainer
+def build_diffusion(batch, ncam, size, traj_len, compute_dtype=None):
     from act3d_tpu.train.flagship import diffusion_loss_fn, make_diffusion_model
     from act3d_tpu.utils.testing import synthetic_trajectory_batch
 
@@ -50,8 +42,61 @@ def main():
         data["pcds"], data["instr"], data["curr_gripper"], data["action"],
         noise_rng=jax.random.PRNGKey(1),
     )
+    return diffusion_loss_fn(model, compute_dtype), variables, data
+
+
+def build_act3d(batch, ncam, size):
+    from act3d_tpu.train.flagship import keypose_loss_fn, make_keypose_model
+    from act3d_tpu.train.losses import KeyposeLossAndMetrics
+    from act3d_tpu.utils.testing import synthetic_keypose_batch
+
+    model = make_keypose_model(image_size=(size, size))
+    data = synthetic_keypose_batch(batch=batch, ncam=ncam, image_size=(size, size))
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        data["rgbs"], data["pcds"], data["instr"], data["curr_gripper"],
+        sample_rng=jax.random.PRNGKey(1), gt_action=data["action"],
+    )
+    return (
+        keypose_loss_fn(model, KeyposeLossAndMetrics()),
+        variables,
+        data,
+    )
+
+
+def main():
+    kind = os.environ.get("BENCH_MODEL", "diffusion")
+    default_batch = "22" if kind == "diffusion" else "16"
+    batch = int(os.environ.get("BENCH_BATCH", default_batch))
+    ncam = int(os.environ.get("BENCH_NCAM", "3"))
+    size = int(os.environ.get("BENCH_IMAGE_SIZE", "256"))
+    traj_len = int(os.environ.get("BENCH_TRAJ_LEN", "50"))
+    steps = int(os.environ.get("BENCH_STEPS", "100"))
+    if os.environ.get("BENCH_FUSED_ATTENTION", "0") == "1":
+        from act3d_tpu.ops.attention import use_fused_attention
+
+        use_fused_attention(True)
+
+    from act3d_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from act3d_tpu.parallel.mesh import make_mesh
+    from act3d_tpu.train.engine import Trainer
+
+    import jax.numpy as jnp
+
+    compute_dtype = (
+        jnp.bfloat16 if os.environ.get("BENCH_BF16", "0") == "1" else None
+    )
+    if kind == "act3d":
+        loss_fn, variables, data = build_act3d(batch, ncam, size)
+    else:
+        loss_fn, variables, data = build_diffusion(
+            batch, ncam, size, traj_len, compute_dtype
+        )
     mesh = make_mesh(num_devices=1)
-    trainer = Trainer(diffusion_loss_fn(model), variables["params"], mesh=mesh)
+    trainer = Trainer(loss_fn, variables["params"], mesh=mesh)
 
     # pre-transfer the batch once: device_put of an already-sharded array is
     # a no-op, so steps measure pure device compute (the real input pipeline
@@ -79,7 +124,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "diffusion_train_samples_per_sec_per_chip",
+                "metric": f"{kind}_train_samples_per_sec_per_chip",
                 "value": round(samples_per_sec, 3),
                 "unit": "samples/sec",
                 "vs_baseline": round(
