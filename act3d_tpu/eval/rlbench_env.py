@@ -85,12 +85,8 @@ class RLBenchEnv:
         headless: bool = True,
         apply_cameras=("left_shoulder", "right_shoulder", "wrist"),
         collision_checking: bool = False,
+        env=None,  # dependency injection for sim-free testing
     ):
-        if not HAS_RLBENCH:
-            raise ImportError(
-                "RLBench/PyRep are not installed; closed-loop evaluation "
-                "requires the simulator stack (training does not)."
-            )
         self.data_path = data_path
         self.apply_rgb = apply_rgb
         self.apply_depth = apply_depth
@@ -98,6 +94,14 @@ class RLBenchEnv:
         self.apply_cameras = apply_cameras
         self.image_size = image_size
 
+        if env is not None:
+            self.env = env
+            return
+        if not HAS_RLBENCH:
+            raise ImportError(
+                "RLBench/PyRep are not installed; closed-loop evaluation "
+                "requires the simulator stack (training does not)."
+            )
         self.obs_config = self.create_obs_config(
             image_size, apply_rgb, apply_depth, apply_pc, apply_cameras
         )
@@ -183,7 +187,9 @@ class RLBenchEnv:
         verbose: bool = False,
     ) -> Dict:
         self.env.launch()
-        task_type = task_file_to_task_class(task_str)
+        task_type = (
+            task_file_to_task_class(task_str) if HAS_RLBENCH else task_str
+        )
         task = self.env.get_task(task_type)
         task_variations = task.variation_count()
         if num_variations >= 0:

@@ -64,6 +64,57 @@ def build_act3d(batch, ncam, size):
     )
 
 
+def bench_sampler(batch, ncam, size, traj_len, steps):
+    """Latency of the full 100-step reverse-diffusion sampler (the
+    closed-loop eval hot path; the reference re-encodes the frozen visual
+    features every step — ours hoists them out of the lax.scan)."""
+    import time
+
+    from act3d_tpu.models import compute_trajectory
+    from act3d_tpu.train.flagship import make_diffusion_model
+    from act3d_tpu.utils.testing import synthetic_trajectory_batch
+
+    model = make_diffusion_model(image_size=(size, size))
+    data = synthetic_trajectory_batch(
+        batch=batch, ncam=ncam, image_size=(size, size), traj_len=traj_len
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        data["trajectory"], data["trajectory_mask"], data["rgbs"],
+        data["pcds"], data["instr"], data["curr_gripper"], data["action"],
+        noise_rng=jax.random.PRNGKey(1),
+    )
+
+    fn = jax.jit(
+        lambda params, mask, rgbs, pcds, instr, grip, goal, key:
+        compute_trajectory(
+            model, {"params": params}, mask, rgbs, pcds, instr, grip, goal,
+            key,
+        )
+    )
+    args = (
+        variables["params"], data["trajectory_mask"], data["rgbs"],
+        data["pcds"], data["instr"], data["curr_gripper"], data["action"],
+    )
+    out = fn(*args, jax.random.PRNGKey(2))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        out = fn(*args, jax.random.PRNGKey(3 + i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / steps
+    print(
+        json.dumps(
+            {
+                "metric": "sampler_100step_latency_ms",
+                "value": round(dt * 1000, 2),
+                "unit": "ms",
+                "vs_baseline": round(dt * 1000, 2),
+            }
+        )
+    )
+
+
 def main():
     kind = os.environ.get("BENCH_MODEL", "diffusion")
     default_batch = "22" if kind == "diffusion" else "16"
