@@ -175,15 +175,32 @@ class _Mapper:
                 f"{tkey}.ffw_layers.{j}.norm", f"{fpath}/ffw_{j}/norm"
             )
 
-    def clip_backbone(self, tkey: str, fpath: str, layers=(3, 4, 6, 3)):
-        """CLIP ModifiedResNet (clip.py:22-43 / CLIP model.py)."""
+    def clip_backbone(self, tkey: str, fpath: str, layers=None):
+        """CLIP ModifiedResNet (clip.py:22-43 / CLIP model.py).
+
+        Layer block counts are inferred from the state dict (RN50 default
+        (3,4,6,3)); empty prefixes address a root-level module.
+        """
+        tj = (lambda n: f"{tkey}.{n}" if tkey else n)
+        fj = (lambda n: f"{fpath}/{n}" if fpath else n)
+        if layers is None:
+            layers = tuple(
+                len(
+                    {
+                        k[len(tj(f"layer{li}.")):].split(".")[0]
+                        for k in self.sd
+                        if k.startswith(tj(f"layer{li}."))
+                    }
+                )
+                for li in (1, 2, 3, 4)
+            )
         for i in (1, 2, 3):
-            self.conv(f"{tkey}.conv{i}", f"{fpath}/conv{i}")
-            self.bn(f"{tkey}.bn{i}", f"{fpath}/bn{i}")
+            self.conv(tj(f"conv{i}"), fj(f"conv{i}"))
+            self.bn(tj(f"bn{i}"), fj(f"bn{i}"))
         for li, n_blocks in enumerate(layers, start=1):
             for b in range(n_blocks):
-                base = f"{tkey}.layer{li}.{b}"
-                fbase = f"{fpath}/layer{li}_{b}"
+                base = tj(f"layer{li}.{b}")
+                fbase = fj(f"layer{li}_{b}")
                 for c in (1, 2, 3):
                     self.conv(f"{base}.conv{c}", f"{fbase}/conv{c}")
                     self.bn(f"{base}.bn{c}", f"{fbase}/bn{c}")

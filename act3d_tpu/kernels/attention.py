@@ -59,7 +59,7 @@ def _attn_kernel_masked(mask_ref, q_ref, k_ref, v_ref, o_ref):
         preferred_element_type=jnp.float32,
     )
     neg = jnp.asarray(-1e30, scores.dtype)
-    scores = jnp.where(mask_ref[0][None, :], neg, scores)
+    scores = jnp.where(mask_ref[0], neg, scores)  # mask block is (1, 1, S)
     weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     o_ref[0] = jnp.dot(weights, v, preferred_element_type=jnp.float32).astype(
         o_ref.dtype
@@ -108,8 +108,11 @@ def attention_core(
             interpret=interpret,
         )(q, k, v)
     else:
+        # (BH, 1, S): keeps the block's trailing dims equal to the array's
+        # (Mosaic tiling constraint)
+        mask3 = mask[:, None, :]
         mask_spec = pl.BlockSpec(
-            (1, s), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            (1, 1, s), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
         )
         out = pl.pallas_call(
             _attn_kernel_masked,
@@ -118,7 +121,7 @@ def attention_core(
             in_specs=[mask_spec, q_spec, kv_spec, kv_spec],
             out_specs=out_spec,
             interpret=interpret,
-        )(mask, q, k, v)
+        )(mask3, q, k, v)
     return out[:, :l]
 
 

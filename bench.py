@@ -138,7 +138,7 @@ def main():
     import jax.numpy as jnp
 
     compute_dtype = (
-        jnp.bfloat16 if os.environ.get("BENCH_BF16", "0") == "1" else None
+        jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else None
     )
     if kind == "act3d":
         loss_fn, variables, data = build_act3d(batch, ncam, size)
