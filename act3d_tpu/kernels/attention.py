@@ -70,7 +70,6 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("l_tile", "interpret"))
 def attention_core(
     q: jax.Array,  # (BH, L, D) — pre-scaled, post-rotary
     k: jax.Array,  # (BH, S, D) — post-rotary
@@ -79,7 +78,24 @@ def attention_core(
     l_tile: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """softmax(q @ kᵀ) @ v with the score tile kept in VMEM."""
+    """softmax(q @ kᵀ) @ v with the score tile kept in VMEM.
+
+    Differentiable: forward runs the Pallas kernel; the backward pass
+    recomputes scores in jnp (standard softmax-attention VJP) — XLA fuses
+    it the same way it fuses the reference path's backward.
+    """
+    return _attention_core(q, k, v, mask, l_tile, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attention_core(q, k, v, mask, l_tile, interpret):
+    return _attention_core_fwd_impl(q, k, v, mask, l_tile, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("l_tile", "interpret"))
+def _attention_core_fwd_impl(
+    q, k, v, mask=None, l_tile: int = 512, interpret: bool = False
+):
     bh, l, d = q.shape
     s = k.shape[1]
 
@@ -123,6 +139,32 @@ def attention_core(
             interpret=interpret,
         )(mask3, q, k, v)
     return out[:, :l]
+
+
+def _attention_core_fwd(q, k, v, mask, l_tile, interpret):
+    out = _attention_core_fwd_impl(q, k, v, mask, l_tile, interpret)
+    return out, (q, k, v, mask)
+
+
+def _attention_core_bwd(l_tile, interpret, residuals, g):
+    q, k, v, mask = residuals
+    scores = jnp.einsum(
+        "bld,bsd->bls", q, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        scores = jnp.where(mask[:, None, :], -1e30, scores)
+    w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    dv = jnp.einsum("bls,bld->bsd", w, g)
+    dw = jnp.einsum("bld,bsd->bls", g, v)
+    dw32 = dw.astype(jnp.float32) * w.astype(jnp.float32)
+    ds = (dw32 - jnp.sum(dw32, axis=-1, keepdims=True) * w.astype(jnp.float32))
+    ds = ds.astype(q.dtype)
+    dq = jnp.einsum("bls,bsd->bld", ds, k)
+    dk = jnp.einsum("bls,bld->bsd", ds, q)
+    return dq, dk, dv, None
+
+
+_attention_core.defvjp(_attention_core_fwd, _attention_core_bwd)
 
 
 def fused_cross_attention(

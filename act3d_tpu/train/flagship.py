@@ -123,8 +123,14 @@ def diffusion_metrics_fn(model: DiffusionPlanner):
     return metrics_fn
 
 
-def keypose_loss_fn(model: Act3D, criterion, compute_dtype=None):
-    """(params, batch, rng) -> (loss, aux dict of sub-losses)."""
+def keypose_loss_fn(
+    model: Act3D, criterion, compute_dtype=None, use_gt_sampling: bool = True
+):
+    """(params, batch, rng) -> (loss, aux dict of sub-losses).
+
+    use_gt_sampling biases fine-level ghost sampling with the ground-truth
+    position (reference --use_ground_truth_position_for_sampling_train,
+    main_keypose.py:84: 'considerably speeds up training')."""
 
     def loss_fn(params, batch, rng):
         sample_rng, dropout_rng = jax.random.split(rng)
@@ -135,7 +141,7 @@ def keypose_loss_fn(model: Act3D, criterion, compute_dtype=None):
             _cast_tree(batch["instr"], compute_dtype),
             _cast_tree(batch["curr_gripper"], compute_dtype),
             sample_rng=sample_rng,
-            gt_action=batch["action"],
+            gt_action=batch["action"] if use_gt_sampling else None,
             train_mode=True,
             deterministic=False,
             rngs={"dropout": dropout_rng},

@@ -39,6 +39,7 @@ class KeyposeLossAndMetrics:
 
     position_loss: str = "ce"  # "ce" | "mse" | "ce+mse"
     rotation_parametrization: str = "quat_from_query"
+    compute_loss_at_all_layers: bool = False
     ground_truth_gaussian_spread: float = 0.01
     label_smoothing: float = 0.0
     position_loss_coeff: float = 1.0
@@ -69,12 +70,22 @@ class KeyposeLossAndMetrics:
                         -l2_i / self.ground_truth_gaussian_spread, axis=-1
                     )
                 )
-                # reference supervises only the last attention layer's mask
-                # (main_keypose.py:398-405 with compute_loss_at_all_layers=0)
+                # default: supervise only the last attention layer's mask;
+                # compute_loss_at_all_layers supervises every layer
+                # (main_keypose.py:398-405)
+                layers = (
+                    list(range(len(masks_i)))
+                    if self.compute_loss_at_all_layers
+                    else [-1]
+                )
+                ce = sum(
+                    soft_cross_entropy(
+                        masks_i[j], label_i, self.label_smoothing
+                    )
+                    for j in layers
+                )
                 losses[f"position_ce_level{i}"] = (
-                    soft_cross_entropy(masks_i[-1], label_i, self.label_smoothing)
-                    * self.position_loss_coeff
-                    / num_levels
+                    ce * self.position_loss_coeff / num_levels
                 )
             if pred.get("fine_ghost_pcd_offsets") is not None:
                 pred_with_offset = (
@@ -145,6 +156,29 @@ class KeyposeLossAndMetrics:
             metrics["rot_l1<0.05"] = (l1 < 0.05).astype(jnp.float32)
             metrics["rot_l1<0.025"] = (l1 < 0.025).astype(jnp.float32)
         return metrics
+
+
+def split_metrics_by_task(
+    metrics: Dict[str, jax.Array], tasks: List[str]
+) -> Dict[str, float]:
+    """Host-side per-task breakdown of per-sample metric arrays
+    (reference main_keypose.py:449-452, 476-480: '{task}/metric' keys).
+
+    Per-sample arrays are shape (B,) matching `tasks`; scalars pass
+    through under 'mean/' keys."""
+    import numpy as np
+
+    out: Dict[str, float] = {}
+    task_arr = np.asarray(tasks)
+    for name, values in metrics.items():
+        v = np.asarray(values)
+        if v.ndim == 0 or v.shape[0] != len(tasks):
+            out[f"mean/{name}"] = float(np.mean(v))
+            continue
+        out[f"mean/{name}"] = float(v.mean())
+        for task in np.unique(task_arr):
+            out[f"{task}/{name}"] = float(v[task_arr == task].mean())
+    return out
 
 
 class TrajectoryCriterion:

@@ -97,6 +97,7 @@ def main(argv=None):
     criterion = KeyposeLossAndMetrics(
         position_loss=cfg.position_loss,
         rotation_parametrization=cfg.rotation_parametrization,
+        compute_loss_at_all_layers=bool(cfg.compute_loss_at_all_layers),
         ground_truth_gaussian_spread=cfg.ground_truth_gaussian_spread,
         label_smoothing=cfg.label_smoothing,
         position_loss_coeff=cfg.position_loss_coeff,
@@ -139,7 +140,12 @@ def main(argv=None):
 
     mesh = make_mesh(None if cfg.num_devices < 0 else cfg.num_devices)
     trainer = Trainer(
-        keypose_loss_fn(model, criterion),
+        keypose_loss_fn(
+            model, criterion,
+            use_gt_sampling=bool(
+                cfg.use_ground_truth_position_for_sampling_train
+            ),
+        ),
         variables["params"],
         metrics_fn=metrics_fn,
         lr=cfg.lr,
@@ -162,14 +168,27 @@ def main(argv=None):
         rng, sub = jax.random.split(rng)
         out = trainer.step(batch, sub)
         if (step_id + 1) % cfg.val_freq == 0:
+            from ..parallel.mesh import shard_batch
+            from ..train.losses import split_metrics_by_task
+
             loss = float(out["loss"])
             n_val = max(5, 4 * max(len(cfg.tasks), 1) // cfg.batch_size_val)
-            val_batches = [
-                to_model_batch(val_ds.sample_batch(cfg.batch_size_val))
-                for _ in range(n_val)
-            ]
-            rng, sub = jax.random.split(rng)
-            val_metrics = trainer.evaluate(val_batches, sub)
+            sums, counts = {}, {}
+            for _ in range(n_val):
+                vb = val_ds.sample_batch(cfg.batch_size_val)
+                tasks = vb.pop("task")
+                rng, sub = jax.random.split(rng)
+                m = jax.device_get(
+                    trainer._eval_step(
+                        trainer.state.params,
+                        shard_batch(to_model_batch(vb), trainer.mesh),
+                        sub,
+                    )
+                )
+                for k, v in split_metrics_by_task(m, tasks).items():
+                    sums[k] = sums.get(k, 0.0) + v
+                    counts[k] = counts.get(k, 0) + 1
+            val_metrics = {k: sums[k] / counts[k] for k in sums}
             if trainer.logger:
                 trainer.logger.log(
                     step_id,
@@ -177,7 +196,8 @@ def main(argv=None):
                     | {f"val-losses/{k}": v for k, v in val_metrics.items()},
                 )
             trainer.save_checkpoint(
-                cfg.log_dir, new_loss=val_metrics.get("pos_l2_final", loss)
+                cfg.log_dir,
+                new_loss=val_metrics.get("mean/pos_l2_final", loss),
             )
             print(f"Step {step_id}: loss {loss:.4f} val {val_metrics}")
     feeder.close()
