@@ -96,17 +96,57 @@ def bench_sampler(batch, ncam, size, traj_len, steps):
         variables["params"], data["trajectory_mask"], data["rgbs"],
         data["pcds"], data["instr"], data["curr_gripper"], data["action"],
     )
-    out = fn(*args, jax.random.PRNGKey(2))
-    jax.block_until_ready(out)
+    jax.block_until_ready(fn(*args, jax.random.PRNGKey(2)))
     t0 = time.perf_counter()
     for i in range(steps):
-        out = fn(*args, jax.random.PRNGKey(3 + i))
-    jax.block_until_ready(out)
+        jax.block_until_ready(fn(*args, jax.random.PRNGKey(3 + i)))
     dt = (time.perf_counter() - t0) / steps
     print(
         json.dumps(
             {
                 "metric": "sampler_100step_latency_ms",
+                "value": round(dt * 1000, 2),
+                "unit": "ms",
+                "vs_baseline": round(dt * 1000, 2),
+            }
+        )
+    )
+
+
+def bench_act3d_eval(ncam, size, steps):
+    """Act3D eval-mode inference latency (batch 1, 10k ghost points — the
+    closed-loop keypose component, reference eval1.py:94-133)."""
+    import time
+
+    from act3d_tpu.train.flagship import make_keypose_model
+    from act3d_tpu.utils.testing import synthetic_keypose_batch
+
+    model = make_keypose_model(image_size=(size, size))
+    data = synthetic_keypose_batch(batch=1, ncam=ncam, image_size=(size, size))
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        data["rgbs"], data["pcds"], data["instr"], data["curr_gripper"],
+        sample_rng=jax.random.PRNGKey(1), train_mode=False,
+    )
+    fn = jax.jit(
+        lambda p, rgbs, pcds, instr, grip, key: model.apply(
+            {"params": p}, rgbs, pcds, instr, grip,
+            sample_rng=key, gt_action=None, train_mode=False,
+        )["position"]
+    )
+    args = (
+        variables["params"], data["rgbs"], data["pcds"], data["instr"],
+        data["curr_gripper"],
+    )
+    jax.block_until_ready(fn(*args, jax.random.PRNGKey(2)))
+    t0 = time.perf_counter()
+    for i in range(steps):
+        jax.block_until_ready(fn(*args, jax.random.PRNGKey(3 + i)))
+    dt = (time.perf_counter() - t0) / steps
+    print(
+        json.dumps(
+            {
+                "metric": "act3d_eval_latency_ms",
                 "value": round(dt * 1000, 2),
                 "unit": "ms",
                 "vs_baseline": round(dt * 1000, 2),
@@ -137,6 +177,11 @@ def main():
 
     import jax.numpy as jnp
 
+    if kind == "sampler":
+        return bench_sampler(1, ncam, size, traj_len, max(steps // 10, 3))
+    if kind == "act3d_eval":
+        return bench_act3d_eval(ncam, size, max(steps // 2, 5))
+
     compute_dtype = (
         jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else None
     )
@@ -164,14 +209,19 @@ def main():
     rng, sub = jax.random.split(rng)
     jax.block_until_ready(trainer.step(data, sub)["loss"])
 
-    t0 = time.perf_counter()
+    # block every step (deep unsynced dispatch queues add overhead through
+    # the device tunnel) and report the median step time — robust to RPC
+    # jitter while still an honest loss-on-host measure
+    times = []
     for _ in range(steps):
         rng, sub = jax.random.split(rng)
+        t0 = time.perf_counter()
         out = trainer.step(data, sub)
-    jax.block_until_ready(out["loss"])
-    dt = time.perf_counter() - t0
+        jax.block_until_ready(out["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
-    samples_per_sec = batch * steps / dt
+    samples_per_sec = batch / dt
     print(
         json.dumps(
             {

@@ -18,12 +18,10 @@ import jax.numpy as jnp
 
 
 def timeit(fn, *args, reps=50):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(fn(*args))
     return (time.perf_counter() - t0) / reps
 
 
