@@ -177,6 +177,42 @@ class Trainer:
             self._eval_step = None
 
     # ------------------------------------------------------------------
+    def make_scanned_steps(self, n_steps: int):
+        """A jitted function running n_steps optimizer steps as one
+        lax.scan (one dispatch).  Used for benchmarking on high-latency
+        device links and for tight inner loops; the batch is fixed across
+        the scan (real training feeds fresh batches per step via the
+        DeviceFeeder between dispatches)."""
+        loss_fn = self._loss_fn
+        tx = self.tx
+
+        def run(state, batch, rngs):
+            def body(state, rng):
+                (loss, _), grads = jax.value_and_grad(
+                    lambda p: loss_fn(p, batch, rng), has_aux=True
+                )(state.params)
+                updates, opt_state = tx.update(
+                    grads, state.opt_state, state.params
+                )
+                params = optax.apply_updates(state.params, updates)
+                return (
+                    TrainState(
+                        params=params, opt_state=opt_state, step=state.step + 1
+                    ),
+                    loss,
+                )
+
+            return jax.lax.scan(body, state, rngs)
+
+        rep = replicated_sharding(self.mesh)
+        bsh = batch_sharding(self.mesh)
+        return jax.jit(
+            run,
+            in_shardings=(rep, bsh, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+
     def step(self, batch, rng) -> Dict[str, float]:
         batch = shard_batch(batch, self.mesh)
         self.state, loss, aux = self._train_step(self.state, batch, rng)

@@ -17,12 +17,31 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, reps=50):
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
+def _scalarize(fn):
+    """Wrap a jittable fn so it returns the f32 sum of all outputs — a
+    4-byte host readback that still forces full execution."""
+
+    def wrapped(*args):
+        out = fn(*args)
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+    return jax.jit(wrapped)
+
+
+def timeit(fn, *args, reps=20):
+    """Median of per-rep times with a scalar host readback each rep —
+    through the device tunnel, block_until_ready alone under-reports
+    (BENCH_NOTES)."""
+    import numpy as np
+
+    float(fn(*args))
+    times = []
     for _ in range(reps):
-        jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        float(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
 
 
 def main():
@@ -64,7 +83,7 @@ def main():
     }
 
     # 1. backbone + FPN (visual encoder alone)
-    visual_fn = jax.jit(
+    visual_fn = _scalarize(
         lambda p, rgb, pcd: model.apply(
             {"params": p}, rgb, pcd,
             method=lambda m, rgb_, pcd_: m.head.visual_encoder(rgb_, pcd_),
@@ -73,26 +92,25 @@ def main():
     t_visual = timeit(visual_fn, params, data_c["rgbs"], data_c["pcds"])
 
     # 2. full context encode (visual + token encoders + normalisation)
-    encode_fn = jax.jit(
-        lambda p, rgb, pcd, instr, grip, goal: model.apply(
-            {"params": p}, rgb, pcd, instr, grip, goal,
-            method=DiffusionPlanner.encode,
-        )
+    raw_encode = lambda p, rgb, pcd, instr, grip, goal: model.apply(
+        {"params": p}, rgb, pcd, instr, grip, goal,
+        method=DiffusionPlanner.encode,
     )
+    encode_fn = _scalarize(raw_encode)
     t_encode = timeit(
         encode_fn, params, data_c["rgbs"], data_c["pcds"], data_c["instr"],
         data_c["curr_gripper"], data_c["action"],
     )
 
     # 3. denoiser trunk alone (context precomputed)
-    context, curr, goal = encode_fn(
+    context, curr, goal = jax.jit(raw_encode)(
         params, data_c["rgbs"], data_c["pcds"], data_c["instr"],
         data_c["curr_gripper"], data_c["action"],
     )
     traj9 = jnp.concatenate(
         [data_c["trajectory"], data_c["trajectory"][..., :2]], axis=-1
     )
-    denoise_fn = jax.jit(
+    denoise_fn = _scalarize(
         lambda p, t, m, ts, ctx: model.apply(
             {"params": p}, t, m, ts, ctx,
             method=DiffusionPlanner.denoise_step,

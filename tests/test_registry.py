@@ -1,0 +1,78 @@
+"""Registry / instruction / preprocessing-parser tests."""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+from act3d_tpu.utils.registry import (
+    ALL_TASKS,
+    AUTOLAMBDA_10_TASKS,
+    HIVEFORMER_74_TASKS,
+    PERACT_18_TASKS,
+    TASK_TO_ID,
+    get_gripper_loc_bounds,
+    get_max_episode_length,
+    load_instructions,
+)
+
+
+def test_suite_sizes():
+    assert len(PERACT_18_TASKS) == 18
+    assert len(HIVEFORMER_74_TASKS) == 74
+    assert len(AUTOLAMBDA_10_TASKS) == 10
+    assert len(ALL_TASKS) == 82
+    assert set(PERACT_18_TASKS) <= set(ALL_TASKS)
+    assert TASK_TO_ID["basketball_in_hoop"] == 0  # alphabetical order
+
+
+def test_load_instructions_filtering(tmp_path):
+    data = {
+        "pick_and_lift": {0: np.ones((2, 53, 512), np.float32),
+                          1: np.zeros((1, 53, 512), np.float32)},
+        "close_door": {0: np.ones((1, 53, 512), np.float32)},
+    }
+    p = tmp_path / "instructions.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(data, f)
+    out = load_instructions(p, tasks=["pick_and_lift"], variations=[0])
+    assert list(out) == ["pick_and_lift"]
+    assert list(out["pick_and_lift"]) == [0]
+    assert out["pick_and_lift"][0].shape == (2, 53, 512)
+    assert load_instructions(None) is None
+
+
+def test_gripper_loc_bounds_union_and_task(tmp_path):
+    bounds = {
+        "a": [[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]],
+        "b": [[-1.0, 0.5, 0.2], [0.5, 2.0, 0.8]],
+    }
+    p = tmp_path / "bounds.json"
+    p.write_text(json.dumps(bounds))
+    union = get_gripper_loc_bounds(str(p), buffer=0.0)
+    np.testing.assert_allclose(union[0], [-1.0, 0.0, 0.0])
+    np.testing.assert_allclose(union[1], [1.0, 2.0, 1.0])
+    single = get_gripper_loc_bounds(str(p), buffer=0.04, task="a")
+    np.testing.assert_allclose(single[0], [-0.04] * 3)
+
+
+def test_get_max_episode_length():
+    episodes = {"max_episode_length": {"a": 4, "b": 9}}
+    assert get_max_episode_length(episodes, ("a", "b"), (0,)) == 9
+
+
+def test_annotations_parser(tmp_path):
+    from act3d_tpu.preprocessing.preprocess_instructions import load_annotations
+
+    ann = [
+        {"task": "pick_and_lift", "variation": 0,
+         "instructions": ["pick it up", "lift the block"]},
+        {"task": "pick_and_lift", "variation": 0, "instruction": "grab it"},
+        {"task": "close_door", "variation": 1, "instruction": "shut the door"},
+    ]
+    p = tmp_path / "annotations.json"
+    p.write_text(json.dumps(ann))
+    out = load_annotations(p)
+    assert len(out["pick_and_lift"][0]) == 3
+    assert out["close_door"][1] == ["shut the door"]

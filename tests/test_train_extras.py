@@ -84,6 +84,35 @@ def test_trainer_checkpoint_round_trip(tmp_path, rng):
     assert np.isfinite(float(out2["loss"]))
 
 
+def test_scanned_steps_match_individual(rng):
+    from act3d_tpu.parallel.mesh import make_mesh, shard_batch
+    from act3d_tpu.train.engine import Trainer
+
+    params = {"w": jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))}
+
+    def loss_fn(p, batch, key):
+        return jnp.mean((batch["x"] @ p["w"] - batch["y"]) ** 2), {}
+
+    batch = {
+        "x": jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32)),
+        "y": jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32)),
+    }
+    mesh = make_mesh(num_devices=2)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+
+    t1 = Trainer(loss_fn, params, mesh=mesh, lr=1e-2)
+    for k in keys:
+        out = t1.step(batch, k)
+    w_seq = np.asarray(t1.state.params["w"])
+
+    t2 = Trainer(loss_fn, params, mesh=mesh, lr=1e-2)
+    scanned = t2.make_scanned_steps(4)
+    state, losses = scanned(t2.state, shard_batch(batch, mesh), keys)
+    np.testing.assert_allclose(np.asarray(state.params["w"]), w_seq, atol=1e-6)
+    assert losses.shape == (4,)
+    assert int(state.step) == 4
+
+
 def test_step_timer():
     from act3d_tpu.train.profiling import StepTimer
 
