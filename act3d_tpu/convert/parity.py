@@ -21,8 +21,6 @@ Run:
 from __future__ import annotations
 
 import argparse
-from pathlib import Path
-
 import numpy as np
 
 

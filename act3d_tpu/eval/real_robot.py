@@ -15,7 +15,7 @@ Flow per keystep (mirrors the sim evaluator):
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional, Protocol, Tuple
+from typing import Dict, Protocol
 
 import numpy as np
 

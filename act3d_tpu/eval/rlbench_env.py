@@ -14,7 +14,7 @@ jitted :class:`act3d_tpu.eval.actioner.Actioner`.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -18,7 +18,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ Hyperparameters follow the reference training scripts:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ from ..models import DiffusionPlanner
 from ..parallel.mesh import batch_sharding, make_mesh
 from ..train.engine import Trainer
 from ..train.flagship import diffusion_loss_fn
-from ..train.losses import TrajectoryCriterion
 from ..utils.registry import get_gripper_loc_bounds, load_instructions
 
 
