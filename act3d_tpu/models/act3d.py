@@ -72,6 +72,7 @@ class Act3D(nn.Module):
     fine_sampling_ball_diameter: float = 0.16
     regress_position_offset: bool = False
     use_instruction: bool = False
+    approx_topk: bool = False  # TPU approx_max_k for fine-context selection
 
     @property
     def rotation_dim(self) -> int:
@@ -211,7 +212,8 @@ class Act3D(nn.Module):
                 context_xyz_i = pcd_pyramid[0]
             else:
                 idx = topk_nearest_context(
-                    position_pyramid[-1], pcd_pyramid[i], fine_k
+                    position_pyramid[-1], pcd_pyramid[i], fine_k,
+                    approx=self.approx_topk,
                 )
                 fi = rgb_feats_pyramid[i].reshape(b, -1, dim)
                 context_feats_i = jnp.take_along_axis(fi, idx[..., None], axis=1)

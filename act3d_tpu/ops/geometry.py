@@ -46,7 +46,7 @@ def find_traj_nn(
 
 
 def topk_nearest_context(
-    anchor: jax.Array, point_cloud: jax.Array, k: int
+    anchor: jax.Array, point_cloud: jax.Array, k: int, approx: bool = False
 ) -> jax.Array:
     """Indices of the k points nearest to a single anchor per batch element.
 
@@ -57,12 +57,18 @@ def topk_nearest_context(
       anchor: (B, 3) predicted position.
       point_cloud: (B, P, 3) fine point-cloud pyramid level.
       k: number of context tokens to keep (32*32*ncam in the reference).
+      approx: use TPU-accelerated ``approx_max_k`` (recall ~0.95; the
+        neighbourhood is a soft attention context, so near-misses among the
+        ~3k nearest of ~49k points are training-noise-level).
 
     Returns:
       (B, k) int32 indices.
     """
     d2 = jnp.sum(jnp.square(anchor[:, None, :] - point_cloud), axis=-1)  # (B, P)
-    _, idx = jax.lax.top_k(-d2, k)
+    if approx:
+        _, idx = jax.lax.approx_max_k(-d2, k)
+    else:
+        _, idx = jax.lax.top_k(-d2, k)
     return idx
 
 

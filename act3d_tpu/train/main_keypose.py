@@ -157,6 +157,34 @@ def main(argv=None):
     if cfg.checkpoint:
         trainer.load_checkpoint(cfg.checkpoint)
 
+    def run_eval(rng, step_id, train_loss=None):
+        from ..parallel.mesh import shard_batch
+        from ..train.losses import split_metrics_by_task
+
+        n_val = max(5, 4 * max(len(cfg.tasks), 1) // cfg.batch_size_val)
+        sums, counts = {}, {}
+        for _ in range(n_val):
+            vb = val_ds.sample_batch(cfg.batch_size_val)
+            tasks = vb.pop("task")
+            rng, sub = jax.random.split(rng)
+            m = jax.device_get(
+                trainer._eval_step(
+                    trainer.state.params,
+                    shard_batch(to_model_batch(vb), trainer.mesh),
+                    sub,
+                )
+            )
+            for k, v in split_metrics_by_task(m, tasks).items():
+                sums[k] = sums.get(k, 0.0) + v
+                counts[k] = counts.get(k, 0) + 1
+        return {k: sums[k] / counts[k] for k in sums}
+
+    if cfg.eval_only:
+        metrics = run_eval(jax.random.PRNGKey(cfg.seed + 2), -1)
+        for k, v in sorted(metrics.items()):
+            print(f"{k}: {v:.4f}")
+        return metrics
+
     feeder = DeviceFeeder(
         lambda: to_model_batch(train_ds.sample_batch(cfg.batch_size)),
         sharding=batch_sharding(mesh),
@@ -168,27 +196,9 @@ def main(argv=None):
         rng, sub = jax.random.split(rng)
         out = trainer.step(batch, sub)
         if (step_id + 1) % cfg.val_freq == 0:
-            from ..parallel.mesh import shard_batch
-            from ..train.losses import split_metrics_by_task
-
             loss = float(out["loss"])
-            n_val = max(5, 4 * max(len(cfg.tasks), 1) // cfg.batch_size_val)
-            sums, counts = {}, {}
-            for _ in range(n_val):
-                vb = val_ds.sample_batch(cfg.batch_size_val)
-                tasks = vb.pop("task")
-                rng, sub = jax.random.split(rng)
-                m = jax.device_get(
-                    trainer._eval_step(
-                        trainer.state.params,
-                        shard_batch(to_model_batch(vb), trainer.mesh),
-                        sub,
-                    )
-                )
-                for k, v in split_metrics_by_task(m, tasks).items():
-                    sums[k] = sums.get(k, 0.0) + v
-                    counts[k] = counts.get(k, 0) + 1
-            val_metrics = {k: sums[k] / counts[k] for k in sums}
+            rng, sub = jax.random.split(rng)
+            val_metrics = run_eval(sub, step_id)
             if trainer.logger:
                 trainer.logger.log(
                     step_id,

@@ -134,6 +134,17 @@ def main(argv=None):
     if cfg.checkpoint:
         trainer.load_checkpoint(cfg.checkpoint)
 
+    if cfg.eval_only:
+        n_val = max(5, 4 * max(len(cfg.tasks), 1) // cfg.batch_size_val)
+        val_batches = [
+            to_model_batch(val_ds.sample_batch(cfg.batch_size_val))
+            for _ in range(n_val)
+        ]
+        metrics = trainer.evaluate(val_batches, jax.random.PRNGKey(cfg.seed + 2))
+        for k, v in sorted(metrics.items()):
+            print(f"{k}: {v:.4f}")
+        return metrics
+
     feeder = DeviceFeeder(
         lambda: to_model_batch(train_ds.sample_batch(cfg.batch_size)),
         sharding=batch_sharding(mesh),
