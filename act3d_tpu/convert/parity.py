@@ -117,14 +117,63 @@ def dump_diffusion(checkpoint: str, out: str, bounds):
     print(f"wrote {out}: denoised {np.asarray(denoised).shape}")
 
 
-def dump_act3d(checkpoint: str, out: str, bounds):
-    """Act3D deterministic sub-outputs (rotation/gripper head on the probe;
-    position depends on sampled ghost points, so the dump also stores the
-    per-level mask logits for fixed externally-supplied ghost points)."""
-    raise NotImplementedError(
-        "act3d parity dump lands with the golden-ghost-point protocol; "
-        "use the diffusion dump meanwhile"
+def dump_act3d(checkpoint: str, out: str, bounds, num_sampling_level=3):
+    """Act3D outputs on the probe with FIXED ghost points per level
+    (``ghost_points_override``) so the stochastic sampler drops out of the
+    comparison.  The golden torch-side dump must feed the same seeded
+    points (np.random.RandomState(4321) uniform in bounds) to the reference
+    model's `_compute_ghost_point_features` path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..convert.torch_to_jax import convert_act3d
+    from ..models import Act3D
+
+    probe = probe_inputs("act3d")
+    n_ghost = 1000 // num_sampling_level
+    rs = np.random.RandomState(4321)
+    lo, hi = np.asarray(bounds[0]), np.asarray(bounds[1])
+    ghost_levels = [
+        (lo + rs.uniform(0, 1, (1, n_ghost, 3)) * (hi - lo)).astype(np.float32)
+        for _ in range(num_sampling_level)
+    ]
+
+    model = Act3D(
+        embedding_dim=60,
+        num_sampling_level=num_sampling_level,
+        num_ghost_points=1000,
+        num_ghost_points_val=1000,
+        gripper_loc_bounds=tuple(map(tuple, bounds)),
+        use_instruction=True,
     )
+    variables = model.init(
+        jax.random.PRNGKey(0), probe["rgb"], probe["pcd"], probe["instr"],
+        probe["gripper"], sample_rng=jax.random.PRNGKey(0),
+        ghost_points_override=[jnp.asarray(g) for g in ghost_levels],
+    )
+    import torch
+
+    sd = torch.load(checkpoint, map_location="cpu")
+    sd = sd.get("weight", sd)
+    params = convert_act3d(
+        sd, variables["params"], num_sampling_level=num_sampling_level
+    )
+    pred = model.apply(
+        {"params": params}, probe["rgb"], probe["pcd"], probe["instr"],
+        probe["gripper"], sample_rng=jax.random.PRNGKey(0),
+        ghost_points_override=[jnp.asarray(g) for g in ghost_levels],
+    )
+    np.savez(
+        out,
+        position=np.asarray(pred["position"]),
+        rotation=np.asarray(pred["rotation"]),
+        gripper=np.asarray(pred["gripper"]),
+        **{
+            f"mask_level{i}": np.asarray(m[-1])
+            for i, m in enumerate(pred["ghost_pcd_masks_pyramid"])
+        },
+    )
+    print(f"wrote {out}")
 
 
 def compare(a_path: str, b_path: str, tol: float):

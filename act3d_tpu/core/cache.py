@@ -17,7 +17,10 @@ _DEFAULT = Path(os.environ.get("ACT3D_JAX_CACHE", "~/.cache/act3d_tpu_jax"))
 def enable_compilation_cache(path=None) -> None:
     import jax
 
-    cache_dir = Path(path or _DEFAULT).expanduser()
+    # per-platform subdirs: the remote compile server's CPU AOT artifacts
+    # target different machine features than this host (SIGILL risk if a
+    # shared cache serves them to local CPU runs)
+    cache_dir = Path(path or _DEFAULT).expanduser() / jax.default_backend()
     cache_dir.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

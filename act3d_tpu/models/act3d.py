@@ -146,6 +146,9 @@ class Act3D(nn.Module):
         gt_action: Optional[jax.Array] = None,  # (B, 8): biases sampling
         train_mode: bool = True,
         deterministic: bool = True,
+        ghost_points_override: Optional[list] = None,  # per-level (B, N, 3):
+        # bypasses on-device sampling — used by the checkpoint-parity
+        # harness to compare against the reference with identical points
     ) -> Dict[str, jax.Array]:
         dim = self.embedding_dim
         levels = self.num_sampling_level
@@ -187,7 +190,10 @@ class Act3D(nn.Module):
         rngs = jax.random.split(sample_rng, levels)
         for i in range(levels):
             # ---- ghost point sampling (on-device, static shapes)
-            if i == 0:
+            if ghost_points_override is not None:
+                ghost_pcd_i = ghost_points_override[i]
+                n_ghost = ghost_pcd_i.shape[1]
+            elif i == 0:
                 ghost_pcd_i = sample_uniform_cube(
                     rngs[i], jnp.broadcast_to(bounds, (b, 2, 3)), n_ghost
                 )
