@@ -150,6 +150,44 @@ def main(argv=None):
         sharding=batch_sharding(mesh),
     )
 
+    # full-sampler eval (reference run_inference=True path,
+    # main_trajectory.py:218-259): 100-step reverse diffusion + trajectory
+    # metrics + 3D scatter visualisation
+    from ..models import compute_trajectory
+    from ..train.losses import TrajectoryCriterion
+
+    sampler_fn = jax.jit(
+        lambda params, mask, rgbs, pcds, instr, grip, goal, key:
+        compute_trajectory(
+            model, {"params": params}, mask, rgbs, pcds, instr, grip, goal,
+            key,
+        )
+    )
+
+    def run_sampler_eval(step_id, rng):
+        vb = to_model_batch(val_ds.sample_batch(cfg.batch_size_val))
+        pred = sampler_fn(
+            trainer.state.params, vb["trajectory_mask"], vb["rgbs"],
+            vb["pcds"], vb["instr"], vb["curr_gripper"], vb["action"], rng,
+        )
+        metrics = jax.device_get(
+            TrajectoryCriterion.compute_metrics(pred, vb["trajectory"])
+        )
+        scalars = {
+            k: float(np.mean(v))
+            for k, v in metrics.items()
+            if not k.startswith("per_sample/")
+        }
+        if trainer.logger and trainer.logger._tb is not None:
+            from ..train.viz import trajectory_scatter_image
+
+            img = trajectory_scatter_image(
+                np.asarray(pred)[0], np.asarray(vb["trajectory"])[0],
+                np.asarray(vb["trajectory_mask"])[0],
+            )
+            trainer.logger._tb.add_image("val-viz/viz", img, step_id)
+        return scalars
+
     rng = jax.random.PRNGKey(cfg.seed + 1)
     start = int(trainer.state.step)
     for step_id in range(start, cfg.train_iters):
@@ -165,6 +203,8 @@ def main(argv=None):
             ]
             rng, sub = jax.random.split(rng)
             val_metrics = trainer.evaluate(val_batches, sub)
+            rng, sub = jax.random.split(rng)
+            val_metrics.update(run_sampler_eval(step_id, sub))
             if trainer.logger:
                 trainer.logger.log(
                     step_id,
