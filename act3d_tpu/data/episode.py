@@ -67,8 +67,9 @@ def load_episode(path) -> Optional[List]:
 
 def save_episode(path, episode: List, typesize: int = 8) -> None:
     """Write an episode as a blosc1 .dat container (readable by both this
-    loader and python-blosc / the reference's datasets.utils.loader)."""
+    loader and python-blosc / the reference's datasets.utils.loader).
+    Compressed with blosclz when the system libblosc is present."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     blob = pickle.dumps(to_numpy_tree(episode))
-    path.write_bytes(native.pack_memcpy(blob, typesize=typesize))
+    path.write_bytes(native.compress(blob, typesize=typesize))

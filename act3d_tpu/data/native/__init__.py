@@ -107,3 +107,25 @@ def pack_memcpy(data: bytes, typesize: int = 8) -> bytes:
     out = ctypes.create_string_buffer(16 + len(data))
     n = _lib().blosc_portable_pack_memcpy(data, len(data), typesize, out)
     return out.raw[:n]
+
+
+def compress(data: bytes, typesize: int = 8, clevel: int = 9) -> bytes:
+    """Compress into a blosc1 container.
+
+    Prefers the system libblosc (blosclz + shuffle, matching the
+    reference's python-blosc output, data_gen.py:136); falls back to the
+    portable memcpy container when libblosc is absent.  Either output is
+    readable by both this loader and python-blosc.
+    """
+    sysb = _system_blosc()
+    if sysb is not None and len(data) > 0:
+        dest = ctypes.create_string_buffer(len(data) + 1024)
+        n = sysb.blosc_compress_ctx(
+            ctypes.c_int(clevel), ctypes.c_int(1), ctypes.c_size_t(typesize),
+            ctypes.c_size_t(len(data)), data, dest,
+            ctypes.c_size_t(len(dest)), b"blosclz",
+            ctypes.c_size_t(0), ctypes.c_int(1),
+        )
+        if n > 0:
+            return dest.raw[:n]
+    return pack_memcpy(data, typesize)
