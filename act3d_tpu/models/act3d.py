@@ -40,7 +40,7 @@ from flax import linen as nn
 from ..nn.encoder import VisualEncoder, pyramid_layout
 from ..nn.layers import RelativeCrossAttentionModule
 from ..ops import rotations as R
-from ..ops.geometry import topk_nearest_context
+from ..ops.geometry import gather_tokens, topk_nearest_context
 from ..ops.rotary import rotary_pe_3d
 from ..ops.sampling import (
     ghost_point_bounds,
@@ -221,11 +221,13 @@ class Act3D(nn.Module):
                     position_pyramid[-1], pcd_pyramid[i], fine_k,
                     approx=self.approx_topk,
                 )
+                # sort: context order is attention-invariant, and sorted
+                # unique indices let XLA vectorise the gather's backward
+                # scatter-add (the fine-level hotspot — see gather_tokens)
+                idx = jnp.sort(idx, axis=-1)
                 fi = rgb_feats_pyramid[i].reshape(b, -1, dim)
-                context_feats_i = jnp.take_along_axis(fi, idx[..., None], axis=1)
-                context_xyz_i = jnp.take_along_axis(
-                    pcd_pyramid[i], idx[..., None], axis=1
-                )
+                context_feats_i = gather_tokens(fi, idx)
+                context_xyz_i = gather_tokens(pcd_pyramid[i], idx)
             context_pos_i = rotary_pe_3d(context_xyz_i, dim)
 
             context_feats_i = jnp.concatenate(
