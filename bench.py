@@ -206,12 +206,6 @@ def main():
     data = shard_batch(data, mesh)
 
     rng = jax.random.PRNGKey(2)
-    # compile + warmup
-    rng, sub = jax.random.split(rng)
-    out = trainer.step(data, sub)
-    jax.block_until_ready(out["loss"])
-    rng, sub = jax.random.split(rng)
-    jax.block_until_ready(trainer.step(data, sub)["loss"])
 
     # The chip sits behind a tunnel whose per-dispatch RPC latency
     # (~30-100 ms, jittery) dwarfs the ~5-10 ms device step, so per-call
