@@ -55,6 +55,15 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     (mirroring DataLoader(drop_last=True), reference engine.py:60).
     """
     sharding = batch_sharding(mesh)
+    ndev = mesh.devices.size
+    leaves = jax.tree_util.tree_leaves(batch)
+    if leaves and leaves[0].shape[0] % ndev != 0:
+        raise ValueError(
+            f"batch size {leaves[0].shape[0]} is not divisible by the "
+            f"{ndev}-device dp mesh; pick a multiple (e.g. --batch_size "
+            f"{-(-leaves[0].shape[0] // ndev) * ndev}) or fewer devices "
+            "(--num_devices)"
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

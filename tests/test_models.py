@@ -202,3 +202,40 @@ def test_keypose_loss_and_metrics(act3d_setup):
     metrics = crit.compute_metrics(out, b["action"])
     assert metrics["pos_l2_final"].shape == (2,)
     assert np.isfinite(np.asarray(metrics["pos_l2_final"])).all()
+
+
+def test_diffusion_multiscale_local_attention(rng):
+    """feat_scales=2 exercises the k-NN context pruning at the fine scale
+    (reference diffusion_head.py:253-259 find_traj_nn path)."""
+    model = DiffusionPlanner(
+        image_size=IMAGE,
+        embedding_dim=24,
+        num_query_cross_attn_layers=3,
+        feat_scales_to_use=2,
+        use_goal=True,
+        use_instruction=False,
+        gripper_loc_bounds=BOUNDS,
+        diffusion_timesteps=3,
+    )
+    b, length = 1, 4
+    rng_np = np.random.default_rng(5)
+    rgb = jnp.asarray(rng_np.uniform(0, 1, (b, NCAM, 3, *IMAGE)).astype(np.float32))
+    pcd = jnp.asarray(rng_np.uniform(-0.4, 1.4, (b, NCAM, 3, *IMAGE)).astype(np.float32))
+    quat = rng_np.normal(size=(b, length, 4)).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    traj = jnp.asarray(np.concatenate(
+        [rng_np.uniform(-0.4, 1.4, (b, length, 3)).astype(np.float32), quat], -1))
+    mask = jnp.zeros((b, length), bool)
+    gq = rng_np.normal(size=(b, 4)).astype(np.float32)
+    gq /= np.linalg.norm(gq, axis=-1, keepdims=True)
+    grip = jnp.asarray(np.concatenate(
+        [rng_np.uniform(0, 1, (b, 3)).astype(np.float32), gq], -1))
+    variables = model.init(
+        jax.random.PRNGKey(0), traj, mask, rgb, pcd, None, grip, grip,
+        noise_rng=jax.random.PRNGKey(1),
+    )
+    loss = model.apply(
+        variables, traj, mask, rgb, pcd, None, grip, grip,
+        noise_rng=jax.random.PRNGKey(2),
+    )
+    assert np.isfinite(float(loss))
