@@ -322,6 +322,39 @@ def ortho6d_from_rotation_matrix(matrix: jax.Array) -> jax.Array:
     return jnp.concatenate([matrix[..., :, 0], matrix[..., :, 1]], axis=-1)
 
 
+def rotation_from_svd(
+    points1: jax.Array,
+    points2: jax.Array,
+    center1: jax.Array | None = None,
+    center2: jax.Array | None = None,
+) -> jax.Array:
+    """Least-squares rotation aligning points2 to points1 via SVD
+    (Kabsch; reference model/utils/utils.py:163-199).
+
+    points1/points2: (..., npts, 3); optional explicit centers (..., 3).
+    Returns (..., 3, 3) proper rotations (det +1).
+    """
+    if center1 is None:
+        points1 = points1 - jnp.mean(points1, axis=-2, keepdims=True)
+    else:
+        points1 = points1 - center1[..., None, :]
+    if center2 is None:
+        points2 = points2 - jnp.mean(points2, axis=-2, keepdims=True)
+    else:
+        points2 = points2 - center2[..., None, :]
+
+    h = jnp.matmul(
+        jnp.swapaxes(points2, -2, -1), points1, precision="highest"
+    )
+    u, _, vh = jnp.linalg.svd(h)
+    v = jnp.swapaxes(vh, -2, -1)
+    r = jnp.matmul(v, jnp.swapaxes(u, -2, -1), precision="highest")
+    # reflection fix: flip V's last column where det < 0
+    neg = jnp.linalg.det(r)[..., None, None] < 0
+    v_fixed = jnp.concatenate([v[..., :2], jnp.where(neg, -v[..., 2:], v[..., 2:])], axis=-1)
+    return jnp.matmul(v_fixed, jnp.swapaxes(u, -2, -1), precision="highest")
+
+
 def orthonormalize_by_gram_schmidt(matrix: jax.Array) -> jax.Array:
     """Gram-Schmidt over the columns of (…, 3, 3) (reference utils.py:142-160)."""
     a1, a2, a3 = matrix[..., :, 0], matrix[..., :, 1], matrix[..., :, 2]

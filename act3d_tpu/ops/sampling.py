@@ -24,8 +24,20 @@ import jax.numpy as jnp
 __all__ = [
     "sample_uniform_cube",
     "sample_uniform_ball",
+    "sample_grid",
     "ghost_point_bounds",
 ]
+
+
+def sample_grid(bounds: jax.Array, num_points_per_dim: int = 10) -> jax.Array:
+    """Regular grid over a box (reference sample_ghost_points_grid,
+    model/utils/utils.py:59-65): (N^3, 3) points, x-major order."""
+    axes = [
+        jnp.linspace(bounds[0, d], bounds[1, d], num_points_per_dim)
+        for d in range(3)
+    ]
+    x, y, z = jnp.meshgrid(*axes, indexing="ij")
+    return jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
 
 _OVERSAMPLE = 4
 

@@ -205,3 +205,26 @@ def test_find_traj_nn_shape(rng):
     cloud = jnp.asarray(rng.normal(size=(2, 500, 3)).astype(np.float32))
     idx = geometry.find_traj_nn(traj, cloud, nn_per_step=16)
     assert idx.shape == (2, 64)
+
+
+def test_sample_grid():
+    bounds = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 2.0, 3.0]])
+    pts = np.asarray(sampling.sample_grid(bounds, 3))
+    assert pts.shape == (27, 3)
+    np.testing.assert_allclose(pts[0], [0, 0, 0])
+    np.testing.assert_allclose(pts[-1], [1, 2, 3])
+    # x-major ordering: first axis changes slowest
+    np.testing.assert_allclose(pts[1], [0, 0, 1.5])
+
+
+def test_rotation_from_svd(rng):
+    from act3d_tpu.ops import rotations as R
+
+    q = rng.normal(size=(4,)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    rot = np.asarray(R.quaternion_to_matrix(q))
+    pts = rng.normal(size=(30, 3)).astype(np.float32)
+    rotated = pts @ rot.T
+    got = np.asarray(R.rotation_from_svd(rotated[None], pts[None]))[0]
+    np.testing.assert_allclose(got, rot, atol=1e-4)
+    np.testing.assert_allclose(np.linalg.det(got), 1.0, atol=1e-5)
