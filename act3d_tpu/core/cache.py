@@ -14,6 +14,19 @@ from pathlib import Path
 _DEFAULT = Path(os.environ.get("ACT3D_JAX_CACHE", "~/.cache/act3d_tpu_jax"))
 
 
+def enable_fast_prng() -> None:
+    """Use the TPU-native 'rbg' PRNG (XLA RngBitGenerator) for all
+    jax.random keys created afterwards.
+
+    Threefry dropout-mask generation costs ~22 ms of the 75 ms training
+    step at reference scale (BENCH_NOTES.md); rbg recovers most of it.
+    Must run before the first key creation.
+    """
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+
 def enable_compilation_cache(path=None) -> None:
     import jax
 

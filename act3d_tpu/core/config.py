@@ -54,6 +54,8 @@ class CommonConfig:
     # TPU-specific
     num_devices: int = -1  # -1: all available
     use_tensorboard: int = 0
+    fast_prng: int = 1  # TPU-native rbg PRNG (see core.cache.enable_fast_prng)
+    mixed_precision: int = 0  # bf16 compute with f32 master weights
 
     @property
     def image_size_tuple(self) -> Tuple[int, int]:

@@ -33,6 +33,11 @@ from ..utils.registry import (
 
 def main(argv=None):
     cfg = parse_config(KeyposeConfig, argv)
+    from ..core.cache import enable_compilation_cache, enable_fast_prng
+
+    enable_compilation_cache()
+    if cfg.fast_prng:
+        enable_fast_prng()
     if cfg.gripper_loc_bounds is None:
         bounds = np.array([[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0]])
     else:
@@ -138,10 +143,14 @@ def main(argv=None):
         )
         return criterion.compute_metrics(out, batch["action"])
 
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if cfg.mixed_precision else None
     mesh = make_mesh(None if cfg.num_devices < 0 else cfg.num_devices)
     trainer = Trainer(
         keypose_loss_fn(
             model, criterion,
+            compute_dtype=compute_dtype,
             use_gt_sampling=bool(
                 cfg.use_ground_truth_position_for_sampling_train
             ),

@@ -61,6 +61,11 @@ def build_datasets(cfg: TrajectoryConfig, instruction):
 
 def main(argv=None):
     cfg = parse_config(TrajectoryConfig, argv)
+    from ..core.cache import enable_compilation_cache, enable_fast_prng
+
+    enable_compilation_cache()
+    if cfg.fast_prng:
+        enable_fast_prng()
     if cfg.gripper_loc_bounds is None:
         cfg.bounds = np.array([[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0]])
     else:
@@ -120,9 +125,12 @@ def main(argv=None):
 
     from ..train.flagship import diffusion_metrics_fn
 
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if cfg.mixed_precision else None
     mesh = make_mesh(None if cfg.num_devices < 0 else cfg.num_devices)
     trainer = Trainer(
-        diffusion_loss_fn(model),
+        diffusion_loss_fn(model, compute_dtype),
         variables["params"],
         metrics_fn=diffusion_metrics_fn(model),
         lr=cfg.lr,

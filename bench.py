@@ -172,9 +172,11 @@ def main():
 
         use_fused_attention(True)
 
-    from act3d_tpu.core.cache import enable_compilation_cache
+    from act3d_tpu.core.cache import enable_compilation_cache, enable_fast_prng
 
     enable_compilation_cache()
+    if os.environ.get("BENCH_FAST_PRNG", "1") == "1":
+        enable_fast_prng()
 
     from act3d_tpu.parallel.mesh import make_mesh
     from act3d_tpu.train.engine import Trainer
