@@ -19,17 +19,28 @@ __all__ = [
 ]
 
 
-def gather_tokens(x: jax.Array, idx: jax.Array) -> jax.Array:
-    """Batched token gather with sorted+unique index hints.
+import functools
 
-    x: (B, P, C); idx: (B, K) int32, strictly increasing per row (sort
-    top-k indices first — attention over the gathered tokens is
-    permutation-invariant, so order is free).  The hints let XLA vectorise
-    the transpose scatter-add in the backward pass, which otherwise
-    dominates Act3D's fine-level step cost on TPU.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def gather_tokens(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched token gather whose backward avoids the wide scatter-add.
+
+    x: (B, P, C); idx: (B, K) int32, unique per row (top-k output; sort is
+    not required but keeps gathers cache-friendly).
+
+    Profiling (BENCH_NOTES.md): the naive VJP — a (B·K, C) scatter-add into
+    (B·P, C) — is a kCustom TPU scatter costing ~19 ms/step in Act3D
+    (fusion.7917, 21% of the step).  Since the indices are unique, the
+    adjoint is a *permuted expand*, not an accumulation: we scatter only K
+    int32 slot numbers (C× less payload) and turn the wide update into a
+    dense gather, which TPUs do fast.
     """
+    return _gather_fwd_impl(x, idx)
+
+
+def _gather_fwd_impl(x, idx):
     b, p, c = x.shape
-    k = idx.shape[1]
     return jax.lax.gather(
         x,
         idx[..., None],
@@ -41,10 +52,33 @@ def gather_tokens(x: jax.Array, idx: jax.Array) -> jax.Array:
             start_indices_batching_dims=(0,),
         ),
         slice_sizes=(1, 1, c),
-        indices_are_sorted=True,
         unique_indices=True,
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
     )
+
+
+def _gather_tokens_fwd(x, idx):
+    return _gather_fwd_impl(x, idx), (idx, x.shape)
+
+
+def _gather_tokens_bwd(residuals, g):
+    idx, (b, p, c) = residuals
+    k = idx.shape[1]
+    # inverse slot map via a cheap int32 scatter: inv[b, idx[b, j]] = j + 1
+    inv = jnp.zeros((b, p), jnp.int32)
+    inv = inv.at[jnp.arange(b)[:, None], idx].set(
+        jnp.arange(1, k + 1, dtype=jnp.int32)[None, :],
+        unique_indices=True,
+        mode="promise_in_bounds",
+    )
+    hit = inv > 0
+    slot = jnp.maximum(inv - 1, 0)
+    rows = jnp.take_along_axis(g, slot[..., None], axis=1)  # dense gather
+    dx = jnp.where(hit[..., None], rows, 0).astype(g.dtype)
+    return dx, None
+
+
+gather_tokens.defvjp(_gather_tokens_fwd, _gather_tokens_bwd)
 
 from .rotations import normalise_quat  # re-export, single definition
 
