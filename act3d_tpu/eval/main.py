@@ -142,6 +142,9 @@ def main(argv=None):
     p.add_argument("--max_tries", type=int, default=2)
     p.add_argument("--max_steps", type=int, default=25)
     p.add_argument("--headless", type=int, default=1)
+    p.add_argument("--record_videos", type=int, default=0)
+    p.add_argument("--num_videos", type=int, default=10)
+    p.add_argument("--log_dir", default="eval_logs")
     p.add_argument("--output", default="eval_results.json")
     args = p.parse_args(argv)
 
@@ -186,6 +189,9 @@ def main(argv=None):
             max_tries=args.max_tries,
             dense_interpolation=True,
             interpolation_length=args.interpolation_length,
+            record_videos=bool(args.record_videos),
+            num_videos=args.num_videos,
+            log_dir=args.log_dir,
         )
         results[task] = rates
         print(task, rates)

@@ -21,6 +21,7 @@ import numpy as np
 from .actioner import Actioner
 from .keypoint import keypoint_discovery
 from .mover import Mover
+from .video import TaskRecorder
 
 try:  # the simulator stack is optional
     from rlbench.observation_config import CameraConfig, ObservationConfig
@@ -185,6 +186,10 @@ class RLBenchEnv:
         dense_interpolation: bool = False,
         interpolation_length: int = 100,
         verbose: bool = False,
+        record_videos: bool = False,
+        num_videos: int = 10,
+        log_dir=None,
+        recorder: TaskRecorder | None = None,
     ) -> Dict:
         self.env.launch()
         task_type = (
@@ -210,6 +215,10 @@ class RLBenchEnv:
                 dense_interpolation=dense_interpolation,
                 interpolation_length=interpolation_length,
                 verbose=verbose,
+                record_videos=record_videos,
+                num_videos=num_videos,
+                log_dir=log_dir,
+                recorder=recorder,
             )
             if valid:
                 var_success_rates[variation] = success_rate
@@ -232,10 +241,27 @@ class RLBenchEnv:
         dense_interpolation: bool = False,
         interpolation_length: int = 100,
         verbose: bool = False,
+        record_videos: bool = False,
+        num_videos: int = 10,
+        log_dir=None,
+        recorder: TaskRecorder | None = None,
     ):
         success_rate = 0
         missing_demos = 0
         total_reward = 0.0
+
+        # Video recording: register the recorder as a per-sim-step callback
+        # on the arm action mode so every planned sub-step is captured
+        # (reference utils_with_rlbench.py:512-528).  A pre-built recorder
+        # may be injected for sim-free testing.
+        if record_videos and recorder is None:
+            from .video import make_cinematic_recorder
+
+            recorder = make_cinematic_recorder(task_str=task_str)
+        if record_videos and hasattr(self, "action_mode"):
+            self.action_mode.arm_action_mode.set_callable_each_step(
+                recorder.take_snap
+            )
 
         for demo_id in range(num_demos):
             try:
@@ -244,7 +270,11 @@ class RLBenchEnv:
                 missing_demos += 1
                 continue
 
-            _, obs = task.reset_to_demo(demo)
+            if record_videos and demo_id < num_videos:
+                recorder.cam_motion_save_pose()
+
+            descriptions, obs = task.reset_to_demo(demo)
+            lang_goal = descriptions[0] if descriptions else ""
             actioner.load_episode(task_str, variation)
             move = Mover(task, max_tries=max_tries)
             reward = 0.0
@@ -273,6 +303,15 @@ class RLBenchEnv:
                     gt_actions[step_id] if offline else output["action"]
                 )
 
+                if record_videos and demo_id < num_videos:
+                    # keystep snapshot with prediction overlays
+                    # (reference utils_with_rlbench.py:625-637)
+                    recorder.take_snap(
+                        obs,
+                        pred_position=np.asarray(output["action"])[-1, :3],
+                        gt_position=gt_actions[step_id][-1, :3],
+                    )
+
                 try:
                     if output.get("trajectory") is not None:
                         traj = np.asarray(output["trajectory"])[0]
@@ -293,9 +332,19 @@ class RLBenchEnv:
                             )
                         traj[:, -1] = traj[:, -1].round()
                         for action_np in traj[1:]:
+                            # Skip only unreachable poses (IK/planner/sim
+                            # rejections) and continue down the trajectory;
+                            # anything else is a real bug and propagates.
+                            # The reference's inner loop swallows *all*
+                            # exceptions here (utils_with_rlbench.py:687-691
+                            # bare `except: pass`) — deliberately narrowed.
                             try:
                                 obs, reward, terminate, _ = move(action_np)
-                            except Exception:
+                            except (
+                                IKError,
+                                ConfigurationPathError,
+                                InvalidActionError,
+                            ):
                                 pass
                     else:
                         action_np = np.asarray(action)[-1]
@@ -311,6 +360,14 @@ class RLBenchEnv:
                     print(task_str, demo, step_id, success_rate, e)
                     reward = 0
                     break
+
+            if record_videos and demo_id < num_videos:
+                video_dir = Path(log_dir or ".") / "videos"
+                recorder.save(
+                    video_dir / f"{task_str}_ep{demo_id}_rew{reward}",
+                    lang_goal,
+                )
+                recorder.cam_motion_restore_pose()
 
             total_reward += max_reward
             print(
