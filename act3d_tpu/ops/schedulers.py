@@ -26,14 +26,19 @@ import jax.numpy as jnp
 __all__ = ["DDPMSchedule", "make_ddpm_schedule"]
 
 
-def _betas(schedule: str, num_timesteps: int) -> jnp.ndarray:
+def _betas(schedule: str, num_timesteps: int):
+    """float64 numpy beta table (cast to f32 only after the posterior
+    coefficients are derived — the 1/(1-alphas_cumprod) division near t=0
+    amplifies f32 cumprod error ~100x)."""
+    import numpy as np
+
     beta_start, beta_end = 1e-4, 0.02
     if schedule == "linear":
-        return jnp.linspace(beta_start, beta_end, num_timesteps, dtype=jnp.float32)
+        return np.linspace(beta_start, beta_end, num_timesteps, dtype=np.float64)
     if schedule == "scaled_linear":
         return (
-            jnp.linspace(
-                beta_start**0.5, beta_end**0.5, num_timesteps, dtype=jnp.float32
+            np.linspace(
+                beta_start**0.5, beta_end**0.5, num_timesteps, dtype=np.float64
             )
             ** 2
         )
@@ -45,7 +50,7 @@ def _betas(schedule: str, num_timesteps: int) -> jnp.ndarray:
             min(1.0 - alpha_bar((i + 1) / num_timesteps) / alpha_bar(i / num_timesteps), 0.999)
             for i in range(num_timesteps)
         ]
-        return jnp.asarray(betas, dtype=jnp.float32)
+        return np.asarray(betas, dtype=np.float64)
     raise ValueError(f"unknown beta schedule {schedule!r}")
 
 
@@ -106,33 +111,34 @@ def make_ddpm_schedule(
     clip_sample: bool = True,
     clip_sample_range: float = 1.0,
 ) -> DDPMSchedule:
-    betas = _betas(beta_schedule, num_timesteps)
+    import numpy as np
+
+    betas = _betas(beta_schedule, num_timesteps)  # float64
     alphas = 1.0 - betas
-    alphas_cumprod = jnp.cumprod(alphas)
+    alphas_cumprod = np.cumprod(alphas)
     # previous-step cumulative products (alpha_bar_{t-1}, with alpha_bar_{-1}=1)
-    alphas_cumprod_prev = jnp.concatenate(
-        [jnp.ones((1,), dtype=jnp.float32), alphas_cumprod[:-1]]
-    )
+    alphas_cumprod_prev = np.concatenate([[1.0], alphas_cumprod[:-1]])
     current_alpha = alphas_cumprod / alphas_cumprod_prev  # == alphas
     current_beta = 1.0 - current_alpha
     beta_prod = 1.0 - alphas_cumprod
 
-    posterior_x0_coeff = jnp.sqrt(alphas_cumprod_prev) * current_beta / beta_prod
-    posterior_xt_coeff = jnp.sqrt(current_alpha) * (1.0 - alphas_cumprod_prev) / beta_prod
+    posterior_x0_coeff = np.sqrt(alphas_cumprod_prev) * current_beta / beta_prod
+    posterior_xt_coeff = np.sqrt(current_alpha) * (1.0 - alphas_cumprod_prev) / beta_prod
     # "fixed_small": beta_t * (1 - abar_{t-1}) / (1 - abar_t), clamped like diffusers
-    posterior_variance = jnp.maximum(
+    posterior_variance = np.maximum(
         (1.0 - alphas_cumprod_prev) / beta_prod * current_beta, 1e-20
     )
 
+    f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)  # noqa: E731
     return DDPMSchedule(
         num_timesteps=num_timesteps,
-        betas=betas,
-        alphas_cumprod=alphas_cumprod,
-        sqrt_alphas_cumprod=jnp.sqrt(alphas_cumprod),
-        sqrt_one_minus_alphas_cumprod=jnp.sqrt(1.0 - alphas_cumprod),
-        posterior_x0_coeff=posterior_x0_coeff,
-        posterior_xt_coeff=posterior_xt_coeff,
-        posterior_variance=posterior_variance,
+        betas=f32(betas),
+        alphas_cumprod=f32(alphas_cumprod),
+        sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
+        sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
+        posterior_x0_coeff=f32(posterior_x0_coeff),
+        posterior_xt_coeff=f32(posterior_xt_coeff),
+        posterior_variance=f32(posterior_variance),
         clip_sample=clip_sample,
         clip_sample_range=clip_sample_range,
     )

@@ -1,0 +1,171 @@
+"""DDPM scheduler oracle tests (VERDICT round-1 missing #4).
+
+Two oracles for ops/schedulers.py:
+
+1. An INDEPENDENT float64 numpy derivation, written here directly from the
+   DDPM posterior formulas and diffusers' documented DDPMScheduler defaults
+   (clip_sample=True range 1.0, variance_type="fixed_small",
+   prediction_type="sample") — a different code path in a different
+   precision, so a sign/clamp/indexing slip in ops/schedulers.py cannot
+   self-confirm.
+2. If ``tests/golden/ddpm_scheduler_golden.npz`` is present (produced by
+   ``python -m act3d_tpu.convert.golden_scheduler`` on a machine with
+   diffusers installed — diffusers is absent from this image), every table
+   and step output is compared against diffusers' literal values.
+
+Reference scheduler configs: diffusion_model.py:51-60 (scaled_linear +
+squaredcos_cap_v2, both prediction_type="sample"); stepping usage:
+diffusion_model.py:111-117.
+"""
+
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from act3d_tpu.ops.schedulers import make_ddpm_schedule
+
+GOLDEN = Path(__file__).parent / "golden" / "ddpm_scheduler_golden.npz"
+SCHEDULES = ("scaled_linear", "squaredcos_cap_v2")
+TIMESTEPS = (10, 100)
+
+
+# ------------------------------------------------------- independent oracle
+def oracle_betas(schedule: str, T: int) -> np.ndarray:
+    """float64, straight from diffusers' documented formulas."""
+    if schedule == "scaled_linear":
+        return np.linspace(1e-4**0.5, 0.02**0.5, T, dtype=np.float64) ** 2
+    if schedule == "squaredcos_cap_v2":
+        def alpha_bar(t):
+            return math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+
+        return np.array(
+            [
+                min(1 - alpha_bar((i + 1) / T) / alpha_bar(i / T), 0.999)
+                for i in range(T)
+            ],
+            np.float64,
+        )
+    raise ValueError(schedule)
+
+
+def oracle_step(schedule: str, T: int, x0, t: int, xt, eps):
+    """q(x_{t-1} | x_t, x0_hat) sampling for prediction_type='sample'."""
+    betas = oracle_betas(schedule, T)
+    abar = np.cumprod(1.0 - betas)
+    abar_prev = abar[t - 1] if t > 0 else 1.0
+    beta_t = 1.0 - abar[t] / abar_prev
+    alpha_t = abar[t] / abar_prev
+
+    x0_hat = np.clip(x0, -1.0, 1.0)  # clip_sample=True, range 1.0
+    mean = (
+        np.sqrt(abar_prev) * beta_t / (1.0 - abar[t]) * x0_hat
+        + np.sqrt(alpha_t) * (1.0 - abar_prev) / (1.0 - abar[t]) * xt
+    )
+    if t == 0:
+        return mean
+    var = max(beta_t * (1.0 - abar_prev) / (1.0 - abar[t]), 1e-20)
+    return mean + np.sqrt(var) * eps
+
+
+def oracle_add_noise(schedule: str, T: int, x0, t: int, eps):
+    abar = np.cumprod(1.0 - oracle_betas(schedule, T))
+    return np.sqrt(abar[t]) * x0 + np.sqrt(1.0 - abar[t]) * eps
+
+
+# ---------------------------------------------------------------- vs oracle
+@pytest.mark.parametrize("schedule", SCHEDULES)
+@pytest.mark.parametrize("T", TIMESTEPS)
+def test_tables_match_float64_oracle(schedule, T):
+    sched = make_ddpm_schedule(schedule, T)
+    betas = oracle_betas(schedule, T)
+    np.testing.assert_allclose(np.asarray(sched.betas), betas, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(sched.alphas_cumprod), np.cumprod(1 - betas), rtol=2e-6
+    )
+
+
+@pytest.mark.parametrize("schedule", SCHEDULES)
+@pytest.mark.parametrize("T", TIMESTEPS)
+def test_step_matches_float64_oracle(schedule, T, rng):
+    sched = make_ddpm_schedule(schedule, T)
+    x0 = rng.normal(size=(2, 5, 3)).astype(np.float32) * 1.5  # exercises clip
+    xt = rng.normal(size=(2, 5, 3)).astype(np.float32)
+    eps = rng.normal(size=(2, 5, 3)).astype(np.float32)
+    for t in sorted({0, 1, T // 2, T - 1}):
+        got = np.asarray(
+            sched.step(jnp.asarray(x0), jnp.asarray(t), jnp.asarray(xt), jnp.asarray(eps))
+        )
+        want = oracle_step(schedule, T, x0.astype(np.float64), t,
+                           xt.astype(np.float64), eps.astype(np.float64))
+        np.testing.assert_allclose(got, want, atol=5e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("schedule", SCHEDULES)
+def test_add_noise_matches_float64_oracle(schedule, rng):
+    T = 100
+    sched = make_ddpm_schedule(schedule, T)
+    x0 = rng.normal(size=(4, 5, 3)).astype(np.float32)
+    eps = rng.normal(size=(4, 5, 3)).astype(np.float32)
+    ts = np.array([0, 7, 50, 99])
+    got = np.asarray(sched.add_noise(jnp.asarray(x0), jnp.asarray(eps), jnp.asarray(ts)))
+    for i, t in enumerate(ts):
+        want = oracle_add_noise(schedule, T, x0[i].astype(np.float64), t,
+                                eps[i].astype(np.float64))
+        np.testing.assert_allclose(got[i], want, atol=5e-6, rtol=1e-5)
+
+
+# ------------------------------------------------------------- vs diffusers
+needs_golden = pytest.mark.skipif(
+    not GOLDEN.exists(),
+    reason="diffusers golden dump not present (see convert/golden_scheduler.py)",
+)
+
+
+@needs_golden
+@pytest.mark.parametrize("schedule", SCHEDULES)
+@pytest.mark.parametrize("T", TIMESTEPS)
+def test_against_diffusers_golden(schedule, T):
+    from act3d_tpu.convert.golden_scheduler import PROBE_SHAPE, make_probes
+
+    data = np.load(GOLDEN)
+    key = f"{schedule}_T{T}"
+    sched = make_ddpm_schedule(schedule, T)
+    np.testing.assert_allclose(
+        np.asarray(sched.betas), data[f"{key}_betas"], atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(sched.alphas_cumprod), data[f"{key}_alphas_cumprod"], rtol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sched.posterior_variance),
+        data[f"{key}_variance"],
+        rtol=1e-4, atol=1e-12,
+    )
+
+    probes = make_probes()
+    # add_noise over every t
+    x0 = np.broadcast_to(probes["x0"][:1], (T,) + PROBE_SHAPE[1:])
+    eps = np.broadcast_to(probes["eps"][:1], (T,) + PROBE_SHAPE[1:])
+    got = np.asarray(
+        sched.add_noise(jnp.asarray(x0), jnp.asarray(eps), jnp.arange(T))
+    )
+    np.testing.assert_allclose(got, data[f"{key}_add_noise"], atol=1e-5)
+
+    # step over every t with diffusers' recorded variance noise
+    for t in range(T):
+        got = np.asarray(
+            sched.step(
+                jnp.asarray(probes["x0"][:1]),
+                jnp.asarray(t),
+                jnp.asarray(probes["xt"][:1]),
+                jnp.asarray(data[f"{key}_step_noise"][t][None]),
+            )
+        )[0]
+        np.testing.assert_allclose(
+            got, data[f"{key}_step_prev"][t], atol=1e-5,
+            err_msg=f"{key} t={t}",
+        )
