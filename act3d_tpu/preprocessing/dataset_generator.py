@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import pickle
+import shutil
 from multiprocessing import Manager, Process
 from pathlib import Path
 
@@ -34,9 +35,32 @@ def _save_png(path: Path, array: np.ndarray):
     Image.fromarray(array).save(path)
 
 
-def save_demo(demo, example_path: Path, cameras):
+def _save_depth_png(depth: np.ndarray, path: Path):
+    """float depth in [0,1] -> 24-bit RGB PNG, RLBench's stored-demo
+    encoding (rlbench.backend.utils.float_array_to_rgb_image with
+    DEPTH_SCALE=2**24-1); uses RLBench's own codec when available."""
+    try:
+        from rlbench.backend import utils as rlb_utils
+        from rlbench.backend.const import DEPTH_SCALE
+
+        rlb_utils.float_array_to_rgb_image(
+            depth, scale_factor=DEPTH_SCALE
+        ).save(str(path))
+        return
+    except ImportError:
+        pass
+    scaled = (np.clip(depth, 0.0, 1.0) * (2**24 - 1)).astype(np.uint32)
+    rgb = np.stack(
+        [(scaled >> 16) & 255, (scaled >> 8) & 255, scaled & 255], axis=-1
+    ).astype(np.uint8)
+    _save_png(path, rgb)
+
+
+def save_demo(demo, example_path: Path, cameras, variation: int | None = None):
     """Write one demo in RLBench stored-episode layout
-    (reference dataset_generator.py:146-267)."""
+    (reference dataset_generator.py:146-267), including the variation
+    number file and the demo's captured numpy random seed state (when the
+    demo was collected via :func:`collect_seeded_demo`)."""
     example_path.mkdir(parents=True, exist_ok=True)
     for cam in cameras:
         for modality in ("rgb", "depth", "mask"):
@@ -50,9 +74,7 @@ def save_demo(demo, example_path: Path, cameras):
                 setattr(obs, f"{cam}_rgb", None)
             depth = getattr(obs, f"{cam}_depth", None)
             if depth is not None:
-                from rlbench.backend import utils as rlb_utils
-
-                rlb_utils.save_depth(
+                _save_depth_png(
                     depth, example_path / f"{cam}_depth" / f"{i}.png"
                 )
                 setattr(obs, f"{cam}_depth", None)
@@ -66,6 +88,91 @@ def save_demo(demo, example_path: Path, cameras):
 
     with open(example_path / "low_dim_obs.pkl", "wb") as f:
         pickle.dump(demo, f)
+    if variation is not None:
+        with open(example_path / "variation_number.pkl", "wb") as f:
+            pickle.dump(variation, f)
+
+
+def collect_seeded_demo(
+    task_env,
+    random_seed_state=None,
+    max_attempts: int = MAX_ATTEMPTS,
+    callable_each_step=None,
+):
+    """One live demo with deterministic numpy seed-state capture/replay.
+
+    Mirrors the reference's ``CustomizedTaskEnvironment._get_live_demos``
+    (dataset_generator.py:93-120): before every attempt the numpy RNG state
+    is either captured (fresh collection) or restored (replay of a stored
+    ``demo.random_seed``), the env is reset, and the captured state is
+    attached to the returned demo — so any stored demo can be re-generated
+    bit-identically by passing its ``random_seed`` back in.
+    """
+    last_error = None
+    for _ in range(max_attempts):
+        if random_seed_state is None:
+            seed = np.random.get_state()
+        else:
+            seed = random_seed_state
+            np.random.set_state(seed)
+        task_env.reset()
+        try:
+            scene = getattr(task_env, "_scene", None)
+            if scene is not None:
+                demo = scene.get_demo(callable_each_step=callable_each_step)
+            else:  # duck-typed envs (tests)
+                (demo,) = task_env.get_demos(amount=1, live_demos=True)
+            demo.random_seed = seed
+            return demo
+        except Exception as e:  # sim demo collection is inherently flaky
+            last_error = e
+    raise RuntimeError(
+        f"could not collect a demo after {max_attempts} attempts: {last_error}"
+    )
+
+
+def verify_demo_and_rgbs(demo, example_path: Path, cameras):
+    """Assert the saved PNG count per camera/modality matches the demo
+    length (reference dataset_generator.py:270-327, generalised over the
+    camera list instead of hardcoding all five)."""
+    example_path = Path(example_path)
+    n = len(demo)
+    for cam in cameras:
+        for modality in ("rgb", "depth", "mask"):
+            folder = example_path / f"{cam}_{modality}"
+            count = len(list(folder.glob("*.png"))) if folder.exists() else 0
+            if count != n:
+                raise AssertionError(
+                    f"{folder}: {count} PNGs != demo length {n}"
+                )
+    if not (example_path / "low_dim_obs.pkl").exists():
+        raise AssertionError(f"{example_path}: missing low_dim_obs.pkl")
+
+
+def collect_and_save_episode(
+    task_env,
+    episode_path: Path,
+    cameras,
+    variation: int,
+    max_attempts: int = MAX_ATTEMPTS,
+):
+    """collect -> save -> verify, cleaning up the partial episode directory
+    and retrying on any failure (reference dataset_generator.py:427-464)."""
+    last_error = None
+    for _ in range(max_attempts):
+        try:
+            demo = collect_seeded_demo(task_env, max_attempts=1)
+            save_demo(demo, episode_path, cameras, variation=variation)
+            verify_demo_and_rgbs(demo, episode_path, cameras)
+            return demo
+        except Exception as e:
+            last_error = e
+            if episode_path.exists():
+                shutil.rmtree(episode_path)
+    raise RuntimeError(
+        f"episode {episode_path} failed after {max_attempts} attempts: "
+        f"{last_error}"
+    )
 
 
 def run_worker(proc_id, lock, task_index, variation_count, args):
@@ -114,22 +221,16 @@ def run_worker(proc_id, lock, task_index, variation_count, args):
                 pickle.dump(descriptions, f)
             episodes_path = var_path / EPISODES_FOLDER
             for ex_idx in range(args.episodes_per_task):
-                attempts = 0
-                while attempts < MAX_ATTEMPTS:
-                    try:
-                        (demo,) = task.get_demos(amount=1, live_demos=True)
-                        break
-                    except Exception as e:
-                        attempts += 1
-                        print(
-                            f"[worker {proc_id}] {my_task} var {variation} "
-                            f"ep {ex_idx} failed ({attempts}): {e}"
-                        )
-                else:
-                    continue
-                save_demo(
-                    demo, episodes_path / f"episode{ex_idx}", args.cameras
-                )
+                try:
+                    demo = collect_and_save_episode(
+                        task,
+                        episodes_path / f"episode{ex_idx}",
+                        args.cameras,
+                        variation,
+                    )
+                except RuntimeError as e:
+                    print(f"[worker {proc_id}] {e} — skipping variation")
+                    break
                 print(
                     f"[worker {proc_id}] saved {my_task} var {variation} "
                     f"ep {ex_idx} ({len(demo)} steps)"

@@ -31,6 +31,8 @@ __all__ = [
     "load_episodes",
     "get_max_episode_length",
     "count_parameters",
+    "asset_path",
+    "load_task_csv",
 ]
 
 PERACT_18_TASKS = (
@@ -114,12 +116,51 @@ def load_instructions(
     }
 
 
+ASSETS_DIR = Path(__file__).resolve().parents[2] / "assets"
+
+
+def asset_path(name: str) -> Path:
+    """Resolve a vendored run-artifact by bare name.
+
+    The repo vendors the reference's published config/data files (category-b
+    data copies) under ``assets/`` mirroring the reference layout:
+    ``assets/tasks/*_location_bounds.json`` + task CSVs, the three root-level
+    bounds JSONs, and ``assets/data_preprocessing/{episodes,annotations}.json``
+    — so published-config runs need no files from the reference tree.
+    """
+    for candidate in (
+        ASSETS_DIR / name,
+        ASSETS_DIR / "tasks" / name,
+        ASSETS_DIR / "data_preprocessing" / name,
+    ):
+        if candidate.exists():
+            return candidate
+    raise FileNotFoundError(f"no vendored asset named {name!r} under {ASSETS_DIR}")
+
+
+def _resolve(path) -> Path:
+    """Accept a real path, or fall back to the vendored assets by name."""
+    p = Path(path)
+    if p.exists():
+        return p
+    if len(p.parts) == 1:
+        return asset_path(p.name)
+    return p
+
+
+def load_task_csv(path) -> Tuple[str, ...]:
+    """Task list from a reference-layout CSV (single row, comma-separated —
+    reference tasks/*.csv)."""
+    text = _resolve(path).read_text().strip()
+    return tuple(t for line in text.splitlines() for t in line.split(",") if t)
+
+
 def get_gripper_loc_bounds(
     path: str, buffer: float = 0.0, task: Optional[str] = None
 ) -> np.ndarray:
     """(2, 3) [min, max] workspace bounds for one task or the union
     (reference utils_without_rlbench.py:54-68)."""
-    bounds = json.load(open(path))
+    bounds = json.load(open(_resolve(path)))
     if task is not None and task in bounds:
         lo = np.array(bounds[task][0]) - buffer
         hi = np.array(bounds[task][1]) + buffer
@@ -130,10 +171,11 @@ def get_gripper_loc_bounds(
     return np.stack([lo, hi])
 
 
-def load_episodes(path) -> Dict:
+def load_episodes(path="episodes.json") -> Dict:
     """episodes.json: {'max_episode_length': {task: int}, 'broken': [...],
-    'variable_length': [...]} (reference data_preprocessing/episodes.json)."""
-    with open(path) as fid:
+    'variable_length': [...]} (reference data_preprocessing/episodes.json);
+    defaults to the vendored copy."""
+    with open(_resolve(path)) as fid:
         return json.load(fid)
 
 
