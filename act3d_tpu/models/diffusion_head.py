@@ -179,13 +179,22 @@ class DiffusionHead(nn.Module):
             visible_rgb, visible_pcd
         )
 
+        # gripper poses arrive f32 (normalisation happens against f32
+        # bounds); cast the *feature* inputs to the visual dtype so one f32
+        # token doesn't promote every context concat under mixed precision
+        dtype = visible_rgb.dtype
+        curr_gripper_in = curr_gripper.astype(dtype)
+        goal_gripper_in = (
+            goal_gripper.astype(dtype) if goal_gripper is not None else None
+        )
+
         instr_feats = None
         if self.use_instruction:
-            instr_feats = self.instruction_encoder(instruction)
+            instr_feats = self.instruction_encoder(instruction.astype(dtype))
 
         # current gripper token: learned embed + linear(gripper pose)
         curr_gripper_feats = (
-            self.curr_gripper_encoder(curr_gripper)[:, None]
+            self.curr_gripper_encoder(curr_gripper_in)[:, None]
             + jnp.broadcast_to(self.curr_gripper_embed[None], (b, 1, dim))
         )
         curr_gripper_pos = rotary_pe_3d(curr_gripper[:, None, :3], dim)
@@ -193,7 +202,7 @@ class DiffusionHead(nn.Module):
         goal_gripper_feats = goal_gripper_pos = None
         if self.use_goal:
             goal_gripper_feats = (
-                self.goal_gripper_encoder(goal_gripper)[:, None]
+                self.goal_gripper_encoder(goal_gripper_in)[:, None]
                 + jnp.broadcast_to(self.goal_gripper_embed[None], (b, 1, dim))
             )
             goal_gripper_pos = rotary_pe_3d(goal_gripper[:, None, :3], dim)
@@ -220,16 +229,20 @@ class DiffusionHead(nn.Module):
         deterministic: bool = True,
     ) -> List[jax.Array]:
         dim = self.embedding_dim
+        # mixed precision: the trunk follows the visual-feature dtype; the
+        # trajectory itself (positions/rotations) stays in its own dtype for
+        # the residual updates and rotary phases
+        dtype = context["rgb_feats_pyramid"][0].dtype
 
         traj_feats = self.traj_enc_fc2(
             self.drop(
-                nn.relu(self.traj_enc_fc1(trajectory)),
+                nn.relu(self.traj_enc_fc1(trajectory.astype(dtype))),
                 deterministic=deterministic,
             )
         )
         traj_pos = rotary_pe_3d(trajectory[..., :3], dim)
 
-        time_feats = sinusoidal_pos_emb(timestep, dim)  # (B, F)
+        time_feats = sinusoidal_pos_emb(timestep, dim).astype(dtype)  # (B, F)
 
         traj_time_pos = sinusoidal_pos_emb(
             jnp.arange(trajectory.shape[1]), dim

@@ -18,7 +18,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,7 +69,9 @@ class VisualEncoder(nn.Module):
     image_size: Tuple[int, int] = (256, 256)
     embedding_dim: int = 60
     num_sampling_level: int = 3
-    compute_dtype: jnp.dtype = jnp.float32
+    # None = follow the input dtype (mixed precision casts the batch to
+    # bf16 and the frozen trunk runs bf16 end-to-end); set to force a dtype.
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -89,7 +91,9 @@ class VisualEncoder(nn.Module):
         else:
             raise ValueError(f"unknown backbone {self.backbone}")
 
-        feats = trunk(images.astype(self.compute_dtype))
+        if self.compute_dtype is not None:
+            images = images.astype(self.compute_dtype)
+        feats = trunk(images)
         # Frozen backbone: no gradients flow into it (act3d.py:72-73).
         feats = jax.tree.map(jax.lax.stop_gradient, feats)
 

@@ -180,13 +180,15 @@ class AdaLN(nn.Module):
             kernel_init=nn.initializers.zeros_init(),
             bias_init=nn.initializers.zeros_init(),
             name="modulation",
-        )(nn.silu(t))
+        )(nn.silu(t.astype(x.dtype)))
         scale, shift = jnp.split(mod, 2, axis=-1)
         return x * (1.0 + scale[:, None]) + shift[:, None]
 
 
 def _maybe_add(x: jax.Array, pos: Optional[jax.Array]) -> jax.Array:
-    return x if pos is None else x + pos
+    # positional embeddings are built in f32; follow the feature dtype so
+    # mixed precision doesn't silently promote q/k to f32
+    return x if pos is None else x + pos.astype(x.dtype)
 
 
 class ParallelAttentionLayer(nn.Module):

@@ -73,6 +73,10 @@ def embed_rotary(x: jax.Array, code: jax.Array) -> jax.Array:
       (..., N, F) rotated features: ``x * cos + rotate_pairs(x) * sin`` with
       pair rotation (x0, x1) -> (-x1, x0) (position_encodings.py:30-34).
     """
+    # The code is always built in f32 (trig precision); cast it to the
+    # feature dtype so mixed-precision q/k stay bf16 into the MXU instead
+    # of silently promoting the score matmul to f32.
+    code = code.astype(x.dtype)
     cos, sin = code[..., 0], code[..., 1]
     x2 = jnp.stack([-x[..., 1::2], x[..., ::2]], axis=-1).reshape(x.shape)
     return x * cos + x2 * sin
