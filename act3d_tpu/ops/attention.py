@@ -29,14 +29,28 @@ from .rotary import embed_rotary
 
 __all__ = ["AttentionParams", "multi_head_attention", "use_fused_attention"]
 
-_FUSED = {"enabled": os.environ.get("ACT3D_FUSED_ATTENTION", "0") == "1"}
+_FUSED = {"enabled": None}  # None = auto: on for TPU, off for CPU/GPU
+# Beyond this context length the fused kernel's VMEM budget is at risk;
+# the XLA path takes over (no flagship config comes close).
+_MAX_FUSED_S = 8192
 
 
-def use_fused_attention(enabled: bool = True):
+def use_fused_attention(enabled: Optional[bool] = True):
     """Route eligible attention cores through the Pallas kernel
     (act3d_tpu.kernels.attention).  Eligible = no slot competition, no
-    attention-weight dropout."""
+    attention-weight dropout, context within the kernel's VMEM budget.
+    Pass None to restore the automatic default (TPU on, others off);
+    the ACT3D_FUSED_ATTENTION env var (0/1) overrides everything."""
     _FUSED["enabled"] = enabled
+
+
+def _fused_enabled() -> bool:
+    env = os.environ.get("ACT3D_FUSED_ATTENTION")
+    if env is not None:
+        return env == "1"
+    if _FUSED["enabled"] is not None:
+        return _FUSED["enabled"]
+    return jax.default_backend() != "cpu"
 
 
 class AttentionParams(NamedTuple):
@@ -99,7 +113,12 @@ def multi_head_attention(
     if k_pe is not None:
         k = embed_rotary(k, k_pe)
 
-    if _FUSED["enabled"] and not slot_competition and dropout_rate == 0.0:
+    if (
+        _fused_enabled()
+        and not slot_competition
+        and dropout_rate == 0.0
+        and k.shape[1] <= _MAX_FUSED_S
+    ):
         from ..kernels.attention import fused_cross_attention
 
         out = fused_cross_attention(

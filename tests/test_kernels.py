@@ -67,8 +67,8 @@ def test_fused_multi_head_wrapper_matches_jnp_path(rng):
     # interpret-mode fused path (kernels are compiled only on TPU)
     import act3d_tpu.kernels.attention as kmod
 
-    orig = kmod.attention_core
-    kmod.attention_core = lambda *a, **k: orig(
+    orig = kmod.fused_cross_attention
+    kmod.fused_cross_attention = lambda *a, **k: orig(
         *a, **{**k, "interpret": True}
     )
     try:
@@ -76,7 +76,7 @@ def test_fused_multi_head_wrapper_matches_jnp_path(rng):
         got = multi_head_attention(params, q, kv, kv, H)
     finally:
         attn_mod.use_fused_attention(False)
-        kmod.attention_core = orig
+        kmod.fused_cross_attention = orig
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
     )

@@ -61,3 +61,110 @@ def test_attention_core_vjp_no_mask(rng):
     )(q, k, v)
     for a, b in zip(grads_fused, grads_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+# ------------------------------------------------------------------
+# New multi-head kernel (fused_mha): fwd + Pallas bwd vs jnp reference
+# ------------------------------------------------------------------
+def _mha_ref(q, k, v, heads, mask=None):
+    b, l, e = q.shape
+    d = e // heads
+    split = lambda x: x.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
+    qh, kh, vh = split(q), split(k), split(v)
+    s = jnp.einsum("bhld,bhsd->bhls", qh, kh)
+    if mask is not None:
+        s = jnp.where(mask[:, None, None, :], -1e30, s)
+    w = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhls,bhsd->bhld", w, vh)
+    return o.transpose(0, 2, 1, 3).reshape(b, l, e)
+
+
+def test_fused_mha_fwd_matches_reference(rng):
+    b, l, s, heads, e = 2, 37, 61, 4, 60  # d = 15 (act3d head size)
+    q = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32))
+    got = kmod.fused_mha(q, k, v, heads, None, 512, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_mha_ref(q, k, v, heads)),
+        atol=2e-5, rtol=1e-4,
+    )
+
+
+def test_fused_mha_fwd_masked(rng):
+    b, l, s, heads, e = 2, 16, 33, 8, 120  # diffusion head size
+    q = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32))
+    mask = np.zeros((b, s), bool)
+    mask[0, -9:] = True
+    mask[1, :4] = True
+    mask = jnp.asarray(mask)
+    got = kmod.fused_mha(q, k, v, heads, mask, 512, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_mha_ref(q, k, v, heads, mask)),
+        atol=2e-5, rtol=1e-4,
+    )
+
+
+def test_fused_mha_bwd_matches_reference(rng):
+    b, l, s, heads, e = 2, 21, 45, 4, 60
+    q = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32))
+    mask = np.zeros((b, s), bool)
+    mask[1, -11:] = True
+    mask = jnp.asarray(mask)
+
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(_mha_ref(*a, heads, mask) ** 2), argnums=(0, 1, 2)
+    )(q, k, v)
+    g_fused = jax.grad(
+        lambda *a: jnp.sum(kmod.fused_mha(*a, heads, mask, 512, True) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_, name in zip(g_fused, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-5, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_fused_mha_bwd_large_s_fallback(rng):
+    """S beyond the VMEM budget routes through the jnp fallback VJP."""
+    b, l, s, heads, e = 1, 16, kmod._MAX_BWD_S + 64, 2, 8
+    q = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32)) * 0.1
+    k = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32)) * 0.1
+    v = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32))
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(_mha_ref(*a, heads) ** 2), argnums=(0, 1, 2)
+    )(q, k, v)
+    g_fused = jax.grad(
+        lambda *a: jnp.sum(kmod.fused_mha(*a, heads, None, 512, True) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_, name in zip(g_fused, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-5, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_fused_mha_bwd_multi_ltile(rng):
+    """L spanning several backward tiles exercises the dk/dv accumulator."""
+    b, l, s, heads, e = 1, kmod._BWD_L_TILE + 40, 64, 4, 32
+    q = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32)) * 0.2
+    v = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32))
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(_mha_ref(*a, heads) ** 2), argnums=(0, 1, 2)
+    )(q, k, v)
+    g_fused = jax.grad(
+        lambda *a: jnp.sum(kmod.fused_mha(*a, heads, None, 512, True) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_, name in zip(g_fused, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-5, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
