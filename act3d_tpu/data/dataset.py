@@ -73,7 +73,12 @@ class RLBenchDataset:
         interpolation_length: int = 100,
         action_dim: int = 8,
         seed: int = 0,
+        augment_host: bool = True,
     ):
+        """augment_host=False skips the host-side Resize/Rotate so the
+        jitted training step can apply them on-device instead
+        (data.device_augment.make_device_augment) — the host then only
+        decodes and stacks."""
         self._cameras = list(cameras)
         self._max_episode_length = max_episode_length
         self._num_iters = num_iters
@@ -101,7 +106,8 @@ class RLBenchDataset:
                     self._instructions[task][var] = instructions[task][var]
                 self._num_vars[task] += 1
 
-        if training:
+        self._augment_host = augment_host
+        if training and augment_host:
             self._resize = Resize(scales=image_rescale, rng=self._rng)
             self._rotate = Rotate(
                 gripper_loc_bounds=np.asarray(
@@ -218,7 +224,7 @@ class RLBenchDataset:
                 traj[i, : len(item)] = item
                 traj_mask[i, : len(item)] = False
 
-        if self._training:
+        if self._training and self._augment_host:
             pcds, gripper, action, traj = self._rotate(
                 pcds, gripper, action, traj
             )
