@@ -160,17 +160,19 @@ def bench_act3d_eval(ncam, size, steps):
 
 
 def main():
-    kind = os.environ.get("BENCH_MODEL", "diffusion")
-    default_batch = "22" if kind == "diffusion" else "16"
+    kind = os.environ.get("BENCH_MODEL", "both")
+    default_batch = "16" if kind == "act3d" else "22"
     batch = int(os.environ.get("BENCH_BATCH", default_batch))
     ncam = int(os.environ.get("BENCH_NCAM", "3"))
     size = int(os.environ.get("BENCH_IMAGE_SIZE", "256"))
     traj_len = int(os.environ.get("BENCH_TRAJ_LEN", "50"))
     steps = int(os.environ.get("BENCH_STEPS", "100"))
-    if os.environ.get("BENCH_FUSED_ATTENTION", "0") == "1":
+    # Fused attention is auto-on for TPU (ops.attention._fused_enabled);
+    # BENCH_FUSED_ATTENTION=0/1 forces it off/on.
+    if os.environ.get("BENCH_FUSED_ATTENTION") is not None:
         from act3d_tpu.ops.attention import use_fused_attention
 
-        use_fused_attention(True)
+        use_fused_attention(os.environ["BENCH_FUSED_ATTENTION"] == "1")
 
     from act3d_tpu.core.cache import enable_compilation_cache, enable_fast_prng
 
@@ -191,56 +193,94 @@ def main():
     compute_dtype = (
         jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else None
     )
-    if kind == "act3d":
-        loss_fn, variables, data = build_act3d(batch, ncam, size, compute_dtype)
-    else:
-        loss_fn, variables, data = build_diffusion(
-            batch, ncam, size, traj_len, compute_dtype
-        )
-    mesh = make_mesh(num_devices=1)
-    trainer = Trainer(loss_fn, variables["params"], mesh=mesh)
 
-    # pre-transfer the batch once: device_put of an already-sharded array is
-    # a no-op, so steps measure pure device compute (the real input pipeline
-    # overlaps H2D via data.feeder.DeviceFeeder)
-    from act3d_tpu.parallel.mesh import shard_batch
+    def bench_train(which, b):
+        """Median per-step time of the jitted train step (samples/sec)."""
+        if which == "act3d":
+            loss_fn, variables, data = build_act3d(b, ncam, size, compute_dtype)
+        else:
+            loss_fn, variables, data = build_diffusion(
+                b, ncam, size, traj_len, compute_dtype
+            )
+        mesh = make_mesh(num_devices=1)
+        trainer = Trainer(loss_fn, variables["params"], mesh=mesh)
 
-    data = shard_batch(data, mesh)
+        # pre-transfer the batch once: device_put of an already-sharded
+        # array is a no-op, so steps measure pure device compute (the real
+        # input pipeline overlaps H2D via data.feeder.DeviceFeeder)
+        from act3d_tpu.parallel.mesh import shard_batch
 
-    rng = jax.random.PRNGKey(2)
+        data = shard_batch(data, mesh)
+        rng = jax.random.PRNGKey(2)
 
-    # The chip sits behind a tunnel whose per-dispatch RPC latency
-    # (~30-100 ms, jittery) dwarfs the ~5-10 ms device step, so per-call
-    # timing measures the link, not the chip.  Methodology: run CHAIN
-    # optimizer steps as ONE jitted lax.scan (single dispatch + single
-    # scalar readback), amortise, take the median over chains.  Real
-    # training hides the dispatch behind the async feeder the same way.
-    CHAIN = 20
-    n_chains = max(steps // CHAIN, 3)
-    scanned = trainer.make_scanned_steps(CHAIN)
-    state = trainer.state
-    # warmup/compile
-    rng, sub = jax.random.split(rng)
-    state, losses = scanned(state, data, jax.random.split(sub, CHAIN))
-    float(losses[-1])
-    times = []
-    for _ in range(n_chains):
+        # The chip sits behind a tunnel whose per-dispatch RPC latency
+        # (~30-100 ms, jittery) dwarfs the ~5-10 ms device step, so
+        # per-call timing measures the link, not the chip.  Methodology:
+        # run CHAIN optimizer steps as ONE jitted lax.scan (single
+        # dispatch + single scalar readback), amortise, take the median
+        # over chains.  Real training hides the dispatch behind the async
+        # feeder the same way.
+        CHAIN = 20
+        n_chains = max(steps // CHAIN, 3)
+        scanned = trainer.make_scanned_steps(CHAIN)
+        state = trainer.state
+        # warmup/compile
         rng, sub = jax.random.split(rng)
-        t0 = time.perf_counter()
         state, losses = scanned(state, data, jax.random.split(sub, CHAIN))
-        float(losses[-1])  # completion marker
-        times.append((time.perf_counter() - t0) / CHAIN)
-    dt = float(np.median(times))
+        float(losses[-1])
+        times = []
+        for _ in range(n_chains):
+            rng, sub = jax.random.split(rng)
+            t0 = time.perf_counter()
+            state, losses = scanned(state, data, jax.random.split(sub, CHAIN))
+            float(losses[-1])  # completion marker
+            times.append((time.perf_counter() - t0) / CHAIN)
+        return b / float(np.median(times))
 
-    samples_per_sec = batch / dt
+    if kind in ("act3d", "diffusion"):
+        samples_per_sec = bench_train(kind, batch)
+        print(
+            json.dumps(
+                {
+                    "metric": f"{kind}_train_samples_per_sec_per_chip",
+                    "value": round(samples_per_sec, 3),
+                    "unit": "samples/sec",
+                    "vs_baseline": round(
+                        samples_per_sec / ASSUMED_A100_SAMPLES_PER_SEC, 3
+                    ),
+                }
+            )
+        )
+        return
+
+    # default: the full PerAct-18 training pipeline = Act3D keypose +
+    # trajectory diffusion (both models train; the chained policy needs
+    # both — BASELINE.md north star).  Reported value is the pipeline
+    # throughput 1 / (1/act3d + 1/diffusion): samples/sec pushing each
+    # sample through BOTH trainings.  The A100 baseline for the same
+    # pipeline is 1 / (2 / ASSUMED_A100_SAMPLES_PER_SEC) = 40 samples/s.
+    act3d_sps = bench_train(
+        "act3d", int(os.environ.get("BENCH_BATCH_ACT3D", "16"))
+    )
+    diffusion_sps = bench_train("diffusion", batch)
+    pipeline_sps = 1.0 / (1.0 / act3d_sps + 1.0 / diffusion_sps)
+    baseline_pipeline = ASSUMED_A100_SAMPLES_PER_SEC / 2.0
     print(
         json.dumps(
             {
-                "metric": f"{kind}_train_samples_per_sec_per_chip",
-                "value": round(samples_per_sec, 3),
+                "metric": "peract18_pipeline_train_samples_per_sec_per_chip",
+                "value": round(pipeline_sps, 3),
                 "unit": "samples/sec",
-                "vs_baseline": round(
-                    samples_per_sec / ASSUMED_A100_SAMPLES_PER_SEC, 3
+                "vs_baseline": round(pipeline_sps / baseline_pipeline, 3),
+                "act3d_train_samples_per_sec_per_chip": round(act3d_sps, 3),
+                "act3d_vs_baseline": round(
+                    act3d_sps / ASSUMED_A100_SAMPLES_PER_SEC, 3
+                ),
+                "diffusion_train_samples_per_sec_per_chip": round(
+                    diffusion_sps, 3
+                ),
+                "diffusion_vs_baseline": round(
+                    diffusion_sps / ASSUMED_A100_SAMPLES_PER_SEC, 3
                 ),
             }
         )

@@ -30,6 +30,12 @@ import pytest  # noqa: E402
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (full-model or multi-step)"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

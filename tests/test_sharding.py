@@ -1,6 +1,7 @@
 """SPMD correctness: dp-sharded training equals single-device training."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -69,3 +70,118 @@ def test_uneven_batch_raises(rng):
     except ValueError:
         raised = True
     assert raised
+
+
+# ---------------------------------------------------------------------------
+# Real-model dp equivalence (VERDICT round-1 #7): the actual Act3D and
+# DiffusionPlanner training steps — not a toy MLP — must be numerically
+# invariant to the dp mesh size, reproducing what DDP guaranteed for the
+# reference (reference engine.py:121-124).
+# ---------------------------------------------------------------------------
+
+def _run_steps(loss_fn, params, batch, n_devices, n_steps=3):
+    trainer = Trainer(
+        loss_fn, params, mesh=make_mesh(num_devices=n_devices), lr=1e-3
+    )
+    losses = []
+    for i in range(n_steps):
+        out = trainer.step(batch, jax.random.PRNGKey(100 + i))
+        losses.append(float(out["loss"]))
+    return losses
+
+
+def _grads(loss_fn, params, batch, n_devices):
+    from act3d_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+    mesh = make_mesh(num_devices=n_devices)
+    rep = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+
+    def compute(p, b, k):
+        return jax.grad(lambda p_: loss_fn(p_, b, k)[0])(p)
+
+    fn = jax.jit(compute, in_shardings=(rep, bsh, rep), out_shardings=rep)
+    batch = shard_batch(batch, mesh)
+    return jax.device_get(fn(replicate(params, mesh), batch, jax.random.PRNGKey(7)))
+
+
+def _assert_grads_close(g1, g8):
+    """Gradients must agree up to reduction-order noise.
+
+    Adam-updated *parameters* are the wrong thing to compare: zero-init
+    leaves (AdaLN modulation) get gradients at the fp-noise floor, and
+    Adam normalises any sign flip into a full ±lr step.  The SPMD claim
+    — per-example grads summed over dp shards == single-device grads —
+    is directly checkable on the gradients, scaled per leaf.  Leaves whose
+    gradient is analytically zero (e.g. softmax-invariant k_bias) sit at
+    the fp noise floor on BOTH sides; comparing noise to noise is
+    meaningless, so leaves far below the global gradient scale are
+    skipped.
+    """
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat8 = jax.tree_util.tree_leaves(g8)
+    gmax = max(np.max(np.abs(a)) for a in flat1)
+    checked = 0
+    for a, b in zip(flat1, flat8):
+        scale = max(np.max(np.abs(a)), np.max(np.abs(b)))
+        if scale < 1e-6 * gmax:
+            continue  # noise-floor leaf: true gradient is ~0
+        checked += 1
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-4, rtol=0)
+    assert checked > 0
+
+
+@pytest.mark.slow
+def test_act3d_dp_matches_single_device():
+    from act3d_tpu.train.flagship import keypose_loss_fn, make_keypose_model
+    from act3d_tpu.train.losses import KeyposeLossAndMetrics
+    from act3d_tpu.utils.testing import synthetic_keypose_batch
+
+    model = make_keypose_model(
+        image_size=(128, 128), embedding_dim=24,
+        num_ghost_points=64, num_ghost_points_val=64, num_sampling_level=2,
+    )
+    batch = synthetic_keypose_batch(batch=8, ncam=2, image_size=(128, 128))
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        batch["rgbs"], batch["pcds"], batch["instr"], batch["curr_gripper"],
+        sample_rng=jax.random.PRNGKey(1), gt_action=batch["action"],
+    )
+    loss_fn = keypose_loss_fn(model, KeyposeLossAndMetrics())
+
+    l1 = _run_steps(loss_fn, variables["params"], batch, 1)
+    l8 = _run_steps(loss_fn, variables["params"], batch, 8)
+    np.testing.assert_allclose(l1, l8, rtol=2e-4)
+    _assert_grads_close(
+        _grads(loss_fn, variables["params"], batch, 1),
+        _grads(loss_fn, variables["params"], batch, 8),
+    )
+
+
+@pytest.mark.slow
+def test_diffusion_dp_matches_single_device():
+    from act3d_tpu.train.flagship import diffusion_loss_fn, make_diffusion_model
+    from act3d_tpu.utils.testing import synthetic_trajectory_batch
+
+    model = make_diffusion_model(
+        image_size=(128, 128), embedding_dim=24,
+        num_query_cross_attn_layers=3, diffusion_timesteps=5,
+    )
+    batch = synthetic_trajectory_batch(
+        batch=8, ncam=2, image_size=(128, 128), traj_len=8
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        batch["trajectory"], batch["trajectory_mask"], batch["rgbs"],
+        batch["pcds"], batch["instr"], batch["curr_gripper"], batch["action"],
+        noise_rng=jax.random.PRNGKey(1),
+    )
+    loss_fn = diffusion_loss_fn(model)
+
+    l1 = _run_steps(loss_fn, variables["params"], batch, 1)
+    l8 = _run_steps(loss_fn, variables["params"], batch, 8)
+    np.testing.assert_allclose(l1, l8, rtol=2e-4)
+    _assert_grads_close(
+        _grads(loss_fn, variables["params"], batch, 1),
+        _grads(loss_fn, variables["params"], batch, 8),
+    )
