@@ -171,16 +171,21 @@ int blosc_portable_decompress(const uint8_t* src, int64_t srclen, uint8_t* dst,
       leftoverblock = true;
     }
 
-    // split policy must mirror the compressor (c-blosc 1.x, blosclz,
-    // FORWARD_COMPAT mode): one stream per typesize byte-lane when the
-    // block is full, shuffled, small-typed, and big enough.
+    // split policy must mirror the compressor (c-blosc 1.x blosc_d):
+    // one stream per typesize byte-lane when the block is full,
+    // small-typed and big enough — regardless of shuffle — unless the
+    // header's dont-split bit (0x10, c-blosc >= 1.14) is set.
+    bool dont_split = (flags & 0x10) != 0;
     int nsplits = 1;
-    if (doshuffle && typesize <= kMaxSplits &&
+    if (!dont_split && typesize <= kMaxSplits &&
         blocksize / typesize >= kMinBufferSize && !leftoverblock) {
       nsplits = typesize;
     }
     int64_t neblock = bsize / nsplits;
-    uint8_t* out = doshuffle && nsplits > 1 ? tmp : dst + b * blocksize;
+    // shuffled blocks decode into tmp first, then unshuffle into dst;
+    // this applies to EVERY block incl. the leftover one (the compressor
+    // shuffles per-block before the split decision)
+    uint8_t* out = doshuffle ? tmp : dst + b * blocksize;
 
     int64_t produced = 0;
     for (int s = 0; s < nsplits; s++) {
@@ -201,11 +206,7 @@ int blosc_portable_decompress(const uint8_t* src, int64_t srclen, uint8_t* dst,
       produced += neblock;
     }
 
-    if (doshuffle && nsplits > 1) {
-      unshuffle(typesize, bsize, tmp, dst + b * blocksize);
-    } else if (doshuffle && nsplits == 1 && !leftoverblock) {
-      // full unsplit shuffled block (large typesize)
-      std::memcpy(tmp, dst + b * blocksize, bsize);
+    if (doshuffle) {
       unshuffle(typesize, bsize, tmp, dst + b * blocksize);
     }
   }

@@ -96,6 +96,50 @@ def test_invalid_container_raises():
         native.decompress(b"short")
 
 
+def test_native_decoder_multiblock_shuffled_leftover(rng):
+    """Regression: incompressible payloads larger than one blosc block
+    (~1 MiB at clevel 9) end with a shuffled leftover block stored as a
+    single raw stream — the decoder must unshuffle it too (real 256²
+    episodes are multi-MB, so this is the production shape)."""
+    lib = _oracle()
+    for n in (2_000_000, 5_000_000):
+        rand = rng.integers(0, 256, n).astype(np.uint8).tobytes()
+        assert native.decompress(_oracle_compress(lib, rand)) == rand
+
+
+def test_native_decoder_multiblock_mixed_compressibility(rng):
+    """Multi-block container whose blocks mix compressed / raw / zero
+    splits."""
+    lib = _oracle()
+    parts = [
+        bytes(1_500_000),  # zeros: RLE splits
+        rng.integers(0, 256, 1_500_000).astype(np.uint8).tobytes(),  # raw
+        np.arange(200_000, dtype=np.int64).tobytes(),  # compressible
+    ]
+    data = b"".join(parts)
+    assert native.decompress(_oracle_compress(lib, data)) == data
+
+
+def test_native_decoder_multiblock_noshuffle(rng):
+    """Unshuffled multi-block data still splits into per-lane streams in
+    c-blosc (split policy is shuffle-independent)."""
+    lib = _oracle()
+    data = rng.integers(0, 256, 3_000_000).astype(np.uint8).tobytes()
+    comp = _oracle_compress(lib, data, shuffle=0)
+    assert native.decompress(comp) == data
+
+
+def test_full_scale_episode_round_trip(tmp_path):
+    """save_episode -> load_episode at the production episode scale
+    (3 cams, 256², multi-frame) — exercises the multi-block codec path."""
+    ep = make_episode(image_size=256, n_cam=3, n_frames=3, seed=7)
+    save_episode(tmp_path / "big.dat", ep)
+    assert (tmp_path / "big.dat").stat().st_size > 2_000_000
+    out = load_episode(tmp_path / "big.dat")
+    assert out is not None
+    np.testing.assert_array_equal(out[1], ep[1])
+
+
 # ------------------------------------------------------------- episode I/O
 
 
