@@ -133,7 +133,24 @@ class DiffusionPlanner(nn.Module):
         noise_rng: jax.Array,
         deterministic: bool = True,
     ) -> jax.Array:
-        """Training forward pass; returns the scalar diffusion loss."""
+        """Training forward pass; returns the scalar diffusion loss.
+
+        Padded trajectory rows are zero-filled by the dataset (parity with
+        reference dataset_engine.py:216-224); a zero quaternion is singular
+        under the 6D conversion, and the reference's unmasked loss
+        (diffusion_model.py:314-324) would produce nan on this path — it
+        is only ever exercised with dense_interpolation=1 (all-valid
+        masks) there.  We define the sane semantics: identity-quaternion
+        substitution on padded rows plus a validity-masked loss, which is
+        bit-identical to the reference whenever the mask is all-valid.
+        """
+        ident = jnp.zeros_like(gt_trajectory[..., 3:7]).at[..., 3].set(1.0)
+        quat = jnp.where(
+            trajectory_mask[..., None], ident, gt_trajectory[..., 3:7]
+        )
+        gt_trajectory = jnp.concatenate(
+            [gt_trajectory[..., :3], quat, gt_trajectory[..., 7:]], axis=-1
+        )
         gt = jnp.concatenate(
             [self.normalize_pos(gt_trajectory[..., :3]), gt_trajectory[..., 3:]],
             axis=-1,
@@ -164,12 +181,19 @@ class DiffusionPlanner(nn.Module):
             deterministic=deterministic,
         )
 
+        # validity-masked L1 means — identical to the reference's plain
+        # means (diffusion_model.py:314-324) when the mask is all-valid
+        valid = (~trajectory_mask)[..., None].astype(gt.dtype)
+        n_valid = jnp.maximum(jnp.sum(valid), 1.0)
         total = 0.0
         for layer_pred in preds:
-            total = total + (
-                100.0 * jnp.mean(jnp.abs(layer_pred[..., :3] - gt[..., :3]))
-                + 10.0 * jnp.mean(jnp.abs(layer_pred[..., 3:9] - gt[..., 3:9]))
-            )
+            pos_l1 = jnp.sum(
+                jnp.abs(layer_pred[..., :3] - gt[..., :3]) * valid
+            ) / (n_valid * 3.0)
+            rot_l1 = jnp.sum(
+                jnp.abs(layer_pred[..., 3:9] - gt[..., 3:9]) * valid
+            ) / (n_valid * 6.0)
+            total = total + 100.0 * pos_l1 + 10.0 * rot_l1
         return total
 
     def _normalize_pcd(self, pcd_obs: jax.Array) -> jax.Array:

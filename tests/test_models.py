@@ -68,6 +68,40 @@ def test_diffusion_train_loss_finite(diffusion_setup):
     assert float(loss) > 0
 
 
+def test_diffusion_loss_finite_with_zero_padded_rows(diffusion_setup):
+    """Regression: the dataset zero-pads variable-length trajectories
+    (reference dataset_engine.py:216-224); a zero quaternion is singular
+    under the 6D conversion and used to nan the loss AND its gradients.
+    The masked loss must also equal the loss computed on only the valid
+    prefix when padding changes."""
+    model, variables, b = diffusion_setup
+    traj = np.asarray(b["traj"]).copy()
+    mask = np.asarray(b["mask"])
+    traj[mask] = 0.0  # realistic dataset padding
+    traj = jnp.asarray(traj)
+
+    def loss_fn(params, t):
+        return model.apply(
+            {"params": params}, t, b["mask"], b["rgb"], b["pcd"],
+            b["instr"], b["grip"], b["grip"], noise_rng=jax.random.PRNGKey(2),
+        )
+
+    loss = loss_fn(variables["params"], traj)
+    assert np.isfinite(float(loss))
+    grads = jax.grad(loss_fn)(variables["params"], traj)
+    assert all(
+        bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(grads)
+    )
+    # padded-row contents must not influence the loss
+    traj2 = np.asarray(b["traj"]).copy()
+    traj2[mask] = 123.0
+    np.testing.assert_allclose(
+        float(loss_fn(variables["params"], jnp.asarray(traj2))),
+        float(loss_fn(variables["params"], traj)),
+        rtol=1e-6,
+    )
+
+
 def test_diffusion_loss_grad_flows_not_into_backbone(diffusion_setup):
     model, variables, b = diffusion_setup
 
