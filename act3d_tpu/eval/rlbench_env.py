@@ -139,6 +139,24 @@ class RLBenchEnv:
         pcd = np.stack(state_dict["pc"]).astype(np.float32).transpose(0, 3, 1, 2)
         return rgb[None], pcd[None], gripper[None]
 
+    @staticmethod
+    def get_gripper_matrix_from_action(action):
+        """(8,) action -> 4x4 gripper pose matrix (reference
+        utils_with_rlbench.py:404-414; dataset quaternion layout xyzw)."""
+        action = np.asarray(action).reshape(-1)
+        x, y, z, w = action[3:7] / np.linalg.norm(action[3:7])
+        rot = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+        mat = np.eye(4)
+        mat[:3, :3] = rot
+        mat[:3, 3] = action[:3]
+        return mat
+
     def get_demo(self, task_name, variation, episode_index):
         return self.env.get_demos(
             task_name=task_name,
@@ -305,11 +323,23 @@ class RLBenchEnv:
 
                 if record_videos and demo_id < num_videos:
                     # keystep snapshot with prediction overlays
-                    # (reference utils_with_rlbench.py:625-637)
+                    # (reference utils_with_rlbench.py:627-637: full GT and
+                    # predicted gripper-pose matrices plus optional
+                    # coarse/fine position markers)
                     recorder.take_snap(
                         obs,
-                        pred_position=np.asarray(output["action"])[-1, :3],
-                        gt_position=gt_actions[step_id][-1, :3],
+                        gt_keyframe_gripper_matrices=(
+                            self.get_gripper_matrix_from_action(
+                                gt_actions[step_id][-1]
+                            )[None]
+                        ),
+                        pred_keyframe_gripper_matrices=(
+                            self.get_gripper_matrix_from_action(
+                                np.asarray(output["action"])[-1]
+                            )[None]
+                        ),
+                        pred_coarse_position=output.get("coarse_position"),
+                        pred_fine_position=output.get("fine_position"),
                     )
 
                 try:

@@ -82,6 +82,15 @@ class TaskRecorder:
         self._snaps: List[np.ndarray] = []
         self._pcd_overlay = pcd_overlay
         self._pcd_snaps: List[np.ndarray] = []
+        # sticky overlay state (reference video_utils.py:345-356)
+        self._gt_grippers = None
+        self._pred_grippers = None
+        self._pred_coarse = None
+        self._pred_fine = None
+        self._position_prediction_only = False
+        self._ball_diameter = None
+        self._latest_metrics: dict = {}
+        self._step_metrics: List[dict] = []
 
     def cam_motion_save_pose(self):
         if self._cam_motion is not None:
@@ -91,7 +100,53 @@ class TaskRecorder:
         if self._cam_motion is not None:
             self._cam_motion.restore_pose()
 
-    def take_snap(self, obs=None, pred_position=None, gt_position=None, **_):
+    def take_snap(
+        self,
+        obs=None,
+        pred_position=None,
+        gt_position=None,
+        gt_keyframe_gripper_matrices=None,
+        pred_keyframe_gripper_matrices=None,
+        pred_coarse_position=None,
+        pred_fine_position=None,
+        position_prediction_only: bool = False,
+        fine_sampling_ball_diameter=None,
+        **_,
+    ):
+        """Per-sim-step snapshot (reference TaskRecorder.take_snap,
+        video_utils.py:327-404).  Sticky overlays: gripper matrices and
+        coarse/fine positions persist across snaps until save()."""
+        if gt_keyframe_gripper_matrices is not None:
+            self._gt_grippers = gt_keyframe_gripper_matrices
+        if pred_keyframe_gripper_matrices is not None:
+            self._pred_grippers = pred_keyframe_gripper_matrices
+        if pred_coarse_position is not None:
+            self._pred_coarse = pred_coarse_position
+        if pred_fine_position is not None:
+            self._pred_fine = pred_fine_position
+        if pred_position is not None:
+            self._pred_fine = pred_position
+        if gt_position is not None:
+            g = np.eye(4)
+            g[:3, 3] = np.asarray(gt_position).reshape(3)
+            self._gt_grippers = g[None]
+        self._position_prediction_only = position_prediction_only
+        if fine_sampling_ball_diameter is not None:
+            self._ball_diameter = fine_sampling_ball_diameter
+
+        # keyframe L2 metric, redrawn on every frame until the next
+        # keystep (reference video_utils.py:359-368)
+        if self._gt_grippers is not None and self._pred_grippers is not None:
+            gt_pos = np.asarray(self._gt_grippers).reshape(-1, 4, 4)[:, :3, 3]
+            pr_pos = np.asarray(self._pred_grippers).reshape(-1, 4, 4)[:, :3, 3]
+            self._latest_metrics = {
+                "l2_pos": float(
+                    np.mean(np.sqrt(((gt_pos - pr_pos) ** 2).sum(1)))
+                )
+            }
+        if self._latest_metrics:
+            self._step_metrics.append(dict(self._latest_metrics))
+
         if self._cam_motion is not None:
             self._cam_motion.step()
             frame = self._cam_motion.cam.capture_rgb()
@@ -99,58 +154,56 @@ class TaskRecorder:
                 (np.clip(frame, 0, 1) * 255.0).astype(np.uint8)
             )
         if self._pcd_overlay and obs is not None:
-            frame = self._render_pcd_overlay(obs, pred_position, gt_position)
+            frame = self._render_pcd_overlay(obs)
             if frame is not None:
                 self._pcd_snaps.append(frame)
 
-    def _render_pcd_overlay(self, obs, pred_position, gt_position):
-        """Point-cloud render with predicted/GT keypose markers.
+    def _render_pcd_overlay(self, obs):
+        """Multi-view point-cloud render with keypose overlays: the
+        numpy z-buffer equivalent of the reference's open3d offscreen
+        views (video_utils.py:100-215) — per-camera views plus an
+        aggregate, tiled into one frame (see eval/pcd_render.py)."""
+        from .pcd_render import get_point_cloud_images
 
-        Dependency-light equivalent of the reference's open3d offscreen
-        renders (video_utils.py:300-404): the scene point cloud colored by
-        camera RGB, drawn as a matplotlib 3D scatter, with the predicted
-        (red) and ground-truth (green) keypose positions overlaid.
-        """
-        clouds, colors = [], []
+        clouds, colors, names = [], [], []
         for cam in self._cameras:
             pc = getattr(obs, f"{cam}_point_cloud", None)
             rgb = getattr(obs, f"{cam}_rgb", None)
             if pc is None:
                 continue
-            pc = np.asarray(pc).reshape(-1, 3)
+            pc = np.asarray(pc)
             clouds.append(pc)
+            names.append(cam)
             if rgb is not None:
-                colors.append(
-                    np.asarray(rgb).reshape(-1, 3).astype(np.float32) / 255.0
-                )
+                rgb = np.asarray(rgb).astype(np.float32)
+                if rgb.max() > 1.5:  # uint8 range
+                    rgb = rgb / 255.0
+                colors.append(rgb.reshape(pc.shape))
+            else:
+                colors.append(np.full(pc.shape, 0.5, np.float32))
         if not clouds:
             return None
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        pts = np.concatenate(clouds)
-        cols = np.concatenate(colors) if len(colors) == len(clouds) else None
-        stride = max(1, len(pts) // 8192)
-        fig = plt.figure(figsize=(6.4, 4.8), dpi=100)
-        ax = fig.add_subplot(projection="3d")
-        ax.scatter(
-            pts[::stride, 0], pts[::stride, 1], pts[::stride, 2],
-            c=cols[::stride] if cols is not None else "gray", s=1,
+        imgs = get_point_cloud_images(
+            np.stack(colors),
+            np.stack(clouds),
+            view_names=names,
+            gt_keyframe_gripper_matrices=self._gt_grippers,
+            pred_keyframe_gripper_matrices=self._pred_grippers,
+            pred_coarse_position=self._pred_coarse,
+            pred_fine_position=self._pred_fine,
+            position_prediction_only=self._position_prediction_only,
+            fine_sampling_ball_diameter=self._ball_diameter,
+            image_size=(240, 240),
         )
-        if pred_position is not None:
-            p = np.asarray(pred_position).reshape(3)
-            ax.scatter([p[0]], [p[1]], [p[2]], c="red", s=80, marker="*")
-        if gt_position is not None:
-            g = np.asarray(gt_position).reshape(3)
-            ax.scatter([g[0]], [g[1]], [g[2]], c="green", s=80, marker="^")
-        ax.set_axis_off()
-        fig.tight_layout(pad=0)
-        fig.canvas.draw()
-        frame = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
-        plt.close(fig)
-        return frame
+        # tile: per-camera views on top, aggregate bottom-left
+        cols_n = max(2, (len(imgs) + 1) // 2)
+        h, w = imgs[0].shape[:2]
+        rows_n = (len(imgs) + cols_n - 1) // cols_n
+        canvas = np.full((rows_n * h, cols_n * w, 3), 255, np.uint8)
+        for i, im in enumerate(imgs):
+            r, c = divmod(i, cols_n)
+            canvas[r * h:(r + 1) * h, c * w:(c + 1) * w] = im
+        return canvas
 
     def save(self, path, lang_goal: str = ""):
         path = Path(path)
@@ -161,6 +214,14 @@ class TaskRecorder:
                 path.with_name(path.name + "_pcd"), self._pcd_snaps, lang_goal
             )
             self._pcd_snaps = []
+        # clear sticky overlays for the next demo (video_utils.py:467-475)
+        self._gt_grippers = None
+        self._pred_grippers = None
+        self._pred_coarse = None
+        self._pred_fine = None
+        self._ball_diameter = None
+        self._latest_metrics = {}
+        self._step_metrics = []
         return out
 
     def _write_mp4(self, path, snaps, lang_goal: str):
@@ -179,12 +240,20 @@ class TaskRecorder:
             self._fps,
             (w, h),
         )
-        for frame in snaps:
+        for i, frame in enumerate(snaps):
             bgr = cv2.cvtColor(frame, cv2.COLOR_RGB2BGR)
             if lang_goal:
                 cv2.putText(
                     bgr, lang_goal, (10, h - 20),
                     cv2.FONT_HERSHEY_SIMPLEX, 0.6, (255, 255, 255), 1,
+                    cv2.LINE_AA,
+                )
+            if i < len(self._step_metrics):
+                cv2.putText(
+                    bgr,
+                    f"Position L2 = {self._step_metrics[i]['l2_pos']:.3f}",
+                    (10, h - 40),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 255, 255), 1,
                     cv2.LINE_AA,
                 )
             writer.write(bgr)
