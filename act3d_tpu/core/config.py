@@ -51,6 +51,17 @@ class CommonConfig:
     backbone: str = "clip"
     use_instruction: int = 0
 
+    # Metric key (post-aggregation) that drives the "best" checkpoint.
+    # Reference semantics (engine.py:214-230): new_loss <= best_loss keeps
+    # best; evaluate_nsteps returns `val-losses/action_mse` for keypose
+    # (main_keypose.py:281) and `val-losses/traj_action_mse` for trajectory
+    # (main_trajectory.py:274).  NOTE the keypose criterion never emits an
+    # `action_mse` key, so the reference's keypose best degenerates to
+    # last (save_checkpoint treats None as always-best); we default to the
+    # meaningful `mean/pos_l2_final` instead — set this flag to "" to
+    # reproduce the reference's always-overwrite behaviour.
+    best_checkpoint_metric: str = "default"
+
     # TPU-specific
     num_devices: int = -1  # -1: all available
     use_tensorboard: int = 0

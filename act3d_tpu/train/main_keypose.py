@@ -166,14 +166,18 @@ def main(argv=None):
     if cfg.checkpoint:
         trainer.load_checkpoint(cfg.checkpoint)
 
-    def run_eval(rng, step_id, train_loss=None):
+    def run_eval(rng, step_id, train_loss=None, dataset=None):
+        """Aggregated n-batch eval (reference engine.py:155-174 protocol:
+        val_iters = max(5, 4*len(tasks)/batch_size_val), metrics averaged
+        over batches; run on both the train and the val loader)."""
         from ..parallel.mesh import shard_batch
         from ..train.losses import split_metrics_by_task
 
+        dataset = val_ds if dataset is None else dataset
         n_val = max(5, 4 * max(len(cfg.tasks), 1) // cfg.batch_size_val)
         sums, counts = {}, {}
         for _ in range(n_val):
-            vb = val_ds.sample_batch(cfg.batch_size_val)
+            vb = dataset.sample_batch(cfg.batch_size_val)
             tasks = vb.pop("task")
             rng, sub = jax.random.split(rng)
             m = jax.device_get(
@@ -207,16 +211,32 @@ def main(argv=None):
         if (step_id + 1) % cfg.val_freq == 0:
             loss = float(out["loss"])
             rng, sub = jax.random.split(rng)
+            train_metrics = run_eval(sub, step_id, dataset=train_ds)
+            rng, sub = jax.random.split(rng)
             val_metrics = run_eval(sub, step_id)
             if trainer.logger:
                 trainer.logger.log(
                     step_id,
                     {"train-loss/total": loss}
+                    | {
+                        f"train-losses/{k}": v
+                        for k, v in train_metrics.items()
+                    }
                     | {f"val-losses/{k}": v for k, v in val_metrics.items()},
                 )
+            # Best-checkpoint key: see CommonConfig.best_checkpoint_metric —
+            # the reference keys on the (never-emitted) action_mse
+            # (main_keypose.py:281), degenerating to always-overwrite; we
+            # default to mean/pos_l2_final.  A missing key maps to None,
+            # which save_checkpoint treats as best (engine.py:214-217).
+            metric_key = (
+                "mean/pos_l2_final"
+                if cfg.best_checkpoint_metric == "default"
+                else cfg.best_checkpoint_metric
+            )
             trainer.save_checkpoint(
                 cfg.log_dir,
-                new_loss=val_metrics.get("mean/pos_l2_final", loss),
+                new_loss=val_metrics.get(metric_key) if metric_key else None,
             )
             print(f"Step {step_id}: loss {loss:.4f} val {val_metrics}")
     feeder.close()

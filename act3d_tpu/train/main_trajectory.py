@@ -204,11 +204,20 @@ def main(argv=None):
         out = trainer.step(batch, sub)
         if (step_id + 1) % cfg.val_freq == 0:
             loss = float(out["loss"])
+            # Reference protocol (engine.py:155-174): aggregated
+            # max(5, 4*len(tasks)/batch_size_val)-batch eval on BOTH the
+            # train and the val loader each val_freq.
             n_val = max(5, 4 * max(len(cfg.tasks), 1) // cfg.batch_size_val)
+            train_batches = [
+                to_model_batch(train_ds.sample_batch(cfg.batch_size))
+                for _ in range(n_val)
+            ]
             val_batches = [
                 to_model_batch(val_ds.sample_batch(cfg.batch_size_val))
                 for _ in range(n_val)
             ]
+            rng, sub = jax.random.split(rng)
+            train_metrics = trainer.evaluate(train_batches, sub)
             rng, sub = jax.random.split(rng)
             val_metrics = trainer.evaluate(val_batches, sub)
             rng, sub = jax.random.split(rng)
@@ -217,10 +226,23 @@ def main(argv=None):
                 trainer.logger.log(
                     step_id,
                     {"train-loss/noise_mse": loss}
+                    | {
+                        f"train-losses/{k}": v
+                        for k, v in train_metrics.items()
+                    }
                     | {f"val-losses/{k}": v for k, v in val_metrics.items()},
                 )
+            # Reference best-checkpoint key: val-losses/traj_action_mse
+            # (main_trajectory.py:274) — the sampled-trajectory MSE from the
+            # sampler eval, not the denoiser noise MSE.
+            metric_key = (
+                "traj_action_mse"
+                if cfg.best_checkpoint_metric == "default"
+                else cfg.best_checkpoint_metric
+            )
             trainer.save_checkpoint(
-                cfg.log_dir, new_loss=val_metrics.get("noise_mse", loss)
+                cfg.log_dir,
+                new_loss=val_metrics.get(metric_key) if metric_key else None,
             )
             print(f"Step {step_id}: loss {loss:.4f} val {val_metrics}")
     feeder.close()
