@@ -160,14 +160,21 @@ def main():
         try:
             rng = jax.random.PRNGKey(0)
 
-            def step():
+            def run_chain(k):
+                """k async-dispatched steps, ONE final block: real training
+                never syncs per step, and a per-step block here would time
+                the tunnel's 30-100 ms RPC RTT, not the pipeline
+                (BENCH_NOTES.md methodology)."""
                 nonlocal rng
-                rng, sub = jax.random.split(rng)
-                out = trainer.step(next(feeder), sub)
+                out = None
+                for _ in range(k):
+                    rng, sub = jax.random.split(rng)
+                    out = trainer.step(next(feeder), sub)
                 jax.block_until_ready(out["loss"])
 
-            step()  # compile
-            dt_e2e = _time(step, iters)
+            run_chain(2)  # compile + warm
+            chain = max(iters, 10)
+            dt_e2e = _time(lambda: run_chain(chain), 3, warmup=1) / chain
             emit("e2e_train_samples_per_sec", batch / dt_e2e, "samples/sec")
         finally:
             feeder.close()
