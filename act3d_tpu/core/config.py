@@ -64,6 +64,14 @@ class CommonConfig:
 
     # TPU-specific
     num_devices: int = -1  # -1: all available
+    # ZeRO-style parameter/optimizer sharding factor: the device mesh
+    # becomes (num_devices/fsdp, fsdp) and params/moments shard over the
+    # second axis (parallel/mesh.py).  1 = pure data parallelism (the
+    # reference's DDP semantics).
+    fsdp: int = 1
+    # Ship training batches as uint8 rgb + f16 pcd and decode inside the
+    # jitted step (data/compact.py): 2.6x less host->device traffic.
+    compact_transfer: int = 0
     use_tensorboard: int = 0
     fast_prng: int = 1  # TPU-native rbg PRNG (see core.cache.enable_fast_prng)
     mixed_precision: int = 0  # bf16 compute with f32 master weights

@@ -32,9 +32,10 @@ from flax import serialization
 from ..parallel.mesh import (
     batch_sharding,
     make_mesh,
-    replicate,
     replicated_sharding,
     shard_batch,
+    shard_params,
+    state_shardings,
 )
 from .optim import make_optimizer
 
@@ -130,12 +131,20 @@ class Trainer:
         # device_put aliases already-on-device arrays — without the copy the
         # caller's params would be deleted by the first step.
         params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
-        params = replicate(params, self.mesh)
-        opt_state = jax.jit(
-            self.tx.init, out_shardings=replicated_sharding(self.mesh)
-        )(params)
+        # fsdp policy: replicate on a pure-dp mesh, ZeRO-shard params and
+        # optimizer moments over the fsdp axis on a 2-D mesh
+        params = shard_params(params, self.mesh)
+        opt_sh = state_shardings(
+            self.mesh, jax.eval_shape(self.tx.init, params)
+        )
+        opt_state = jax.jit(self.tx.init, out_shardings=opt_sh)(params)
         self.state = TrainState(
             params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)
+        )
+        self._state_sh = TrainState(
+            params=state_shardings(self.mesh, params),
+            opt_state=opt_sh,
+            step=replicated_sharding(self.mesh),
         )
         self._loss_fn = loss_fn
         self._metrics_fn = metrics_fn
@@ -165,13 +174,15 @@ class Trainer:
 
         self._train_step = jax.jit(
             train_step,
-            in_shardings=(rep, bsh, rep),
-            out_shardings=(rep, rep, rep),
+            in_shardings=(self._state_sh, bsh, rep),
+            out_shardings=(self._state_sh, rep, rep),
             donate_argnums=(0,),
         )
         if metrics_fn is not None:
             self._eval_step = jax.jit(
-                metrics_fn, in_shardings=(rep, bsh, rep), out_shardings=rep
+                metrics_fn,
+                in_shardings=(self._state_sh.params, bsh, rep),
+                out_shardings=rep,
             )
         else:
             self._eval_step = None
@@ -208,8 +219,8 @@ class Trainer:
         bsh = batch_sharding(self.mesh)
         return jax.jit(
             run,
-            in_shardings=(rep, bsh, rep),
-            out_shardings=(rep, rep),
+            in_shardings=(self._state_sh, bsh, rep),
+            out_shardings=(self._state_sh, rep),
             donate_argnums=(0,),
         )
 
@@ -274,8 +285,8 @@ class Trainer:
             template["opt_state"], payload["opt_state"]
         )
         self.state = TrainState(
-            params=replicate(params, self.mesh),
-            opt_state=replicate(opt_state, self.mesh),
+            params=shard_params(params, self.mesh),
+            opt_state=shard_params(opt_state, self.mesh),
             step=jnp.asarray(payload.get("step", 0), jnp.int32),
         )
         self.best_loss = payload.get("best_loss", None)

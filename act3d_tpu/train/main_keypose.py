@@ -146,7 +146,9 @@ def main(argv=None):
     import jax.numpy as jnp
 
     compute_dtype = jnp.bfloat16 if cfg.mixed_precision else None
-    mesh = make_mesh(None if cfg.num_devices < 0 else cfg.num_devices)
+    mesh = make_mesh(
+        None if cfg.num_devices < 0 else cfg.num_devices, fsdp=cfg.fsdp
+    )
     trainer = Trainer(
         keypose_loss_fn(
             model, criterion,
@@ -198,10 +200,15 @@ def main(argv=None):
             print(f"{k}: {v:.4f}")
         return metrics
 
-    feeder = DeviceFeeder(
-        lambda: to_model_batch(train_ds.sample_batch(cfg.batch_size)),
-        sharding=batch_sharding(mesh),
-    )
+    def _train_batch():
+        b = to_model_batch(train_ds.sample_batch(cfg.batch_size))
+        if cfg.compact_transfer:
+            from ..data.compact import compact_batch
+
+            b = compact_batch(b)  # decoded inside the jitted step
+        return b
+
+    feeder = DeviceFeeder(_train_batch, sharding=batch_sharding(mesh))
     rng = jax.random.PRNGKey(cfg.seed + 1)
     start = int(trainer.state.step)
     for step_id in range(start, cfg.train_iters):

@@ -85,7 +85,14 @@ def make_optimizer(
     }
 
     def _flat(leaves, ids):
-        return jnp.concatenate([leaves[i].reshape(-1) for i in ids])
+        """Concatenate group leaves into one vector, zero-padded to a
+        1024 multiple so the moment vectors divide evenly over any
+        power-of-two fsdp axis (parallel/mesh.py param_sharding)."""
+        flat = jnp.concatenate([leaves[i].reshape(-1) for i in ids])
+        pad = (-flat.size) % 1024
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+        return flat
 
     def init_fn(params):
         leaves = treedef.flatten_up_to(params)

@@ -72,6 +72,90 @@ def test_uneven_batch_raises(rng):
     assert raised
 
 
+def test_fsdp_training_matches_single_device(rng):
+    """ZeRO-style fsdp (params/moments sharded over a second mesh axis)
+    must be a pure layout change: identical losses and final params to
+    single-device training."""
+    params = _make(rng)
+    batch = {
+        "x": jnp.asarray(rng.normal(size=(16, 6)).astype(np.float32)),
+        "y": jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32)),
+    }
+    results = {}
+    for n, fsdp in ((1, 1), (8, 4), (8, 8)):
+        trainer = Trainer(
+            _loss_fn, params, mesh=make_mesh(num_devices=n, fsdp=fsdp),
+            lr=1e-2,
+        )
+        losses = []
+        for i in range(5):
+            out = trainer.step(batch, jax.random.PRNGKey(i))
+            losses.append(float(out["loss"]))
+        results[(n, fsdp)] = (losses, jax.device_get(trainer.state.params))
+
+    for key in ((8, 4), (8, 8)):
+        np.testing.assert_allclose(
+            results[(1, 1)][0], results[key][0], rtol=1e-5
+        )
+        for k in params:
+            np.testing.assert_allclose(
+                results[(1, 1)][1][k], results[key][1][k], atol=1e-6
+            )
+
+
+def test_fsdp_actually_shards_params_and_moments(rng):
+    from act3d_tpu.parallel.mesh import param_sharding
+
+    mesh = make_mesh(num_devices=8, fsdp=4)
+    params = _make(rng)
+    trainer = Trainer(_loss_fn, params, mesh=mesh, lr=1e-2)
+    # w1 (6,16): axis 1 divides 4 -> shard_shape (6, 4)
+    w1 = trainer.state.params["w1"]
+    assert w1.sharding.shard_shape(w1.shape) == (6, 4)
+    # flattened AdamW moments are 1024-padded vectors sharded over fsdp
+    moments = [
+        l
+        for l in jax.tree_util.tree_leaves(trainer.state.opt_state)
+        if getattr(l, "ndim", 0) == 1 and l.size >= 1024
+    ]
+    assert moments, "expected flattened moment vectors"
+    for m in moments:
+        assert m.sharding.shard_shape(m.shape)[0] == m.shape[0] // 4
+    # batch shards over BOTH axes (pure data parallelism for activations)
+    b = shard_batch({"x": np.zeros((16, 3), np.float32)}, mesh)
+    assert b["x"].sharding.shard_shape((16, 3)) == (2, 3)
+    # odd leaf dims replicate
+    odd = jnp.zeros((7, 9))
+    assert param_sharding(mesh, odd).shard_shape((7, 9)) == (7, 9)
+
+
+def test_fsdp_checkpoint_roundtrip(rng, tmp_path):
+    """save/load through the msgpack checkpoint keeps fsdp placement and
+    training state."""
+    params = _make(rng)
+    batch = {
+        "x": jnp.asarray(rng.normal(size=(16, 6)).astype(np.float32)),
+        "y": jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32)),
+    }
+    mesh = make_mesh(num_devices=8, fsdp=4)
+    t1 = Trainer(_loss_fn, params, mesh=mesh, lr=1e-2)
+    for i in range(2):
+        t1.step(batch, jax.random.PRNGKey(i))
+    t1.save_checkpoint(tmp_path, new_loss=1.0)
+
+    t2 = Trainer(_loss_fn, params, mesh=mesh, lr=1e-2)
+    t2.load_checkpoint(tmp_path / "last.msgpack")
+    assert int(t2.state.step) == 2
+    for k in params:
+        np.testing.assert_array_equal(
+            jax.device_get(t1.state.params[k]),
+            jax.device_get(t2.state.params[k]),
+        )
+    out1 = t1.step(batch, jax.random.PRNGKey(9))
+    out2 = t2.step(batch, jax.random.PRNGKey(9))
+    assert float(out1["loss"]) == pytest.approx(float(out2["loss"]), rel=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # Real-model dp equivalence (VERDICT round-1 #7): the actual Act3D and
 # DiffusionPlanner training steps — not a toy MLP — must be numerically
