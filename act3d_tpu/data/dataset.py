@@ -157,11 +157,6 @@ class RLBenchDataset:
     def __len__(self):
         return self._num_iters if self._num_iters is not None else self._num_episodes
 
-    @staticmethod
-    def _unnormalize_rgb(rgb):
-        # stored in [-1, 1]; backbone expects [0, 1] (dataset_engine.py:135-137)
-        return rgb / 2 + 0.5
-
     def _load(self, episode_id: int):
         episode_id %= self._num_episodes
         task, variation, file = self._episodes[episode_id]
@@ -170,15 +165,23 @@ class RLBenchDataset:
 
     def _frames_to_sample(self, task, variation, episode, frame_ids):
         """Assemble a sample dict for the given frame ids (numpy)."""
-        states = np.stack([episode[1][i] for i in frame_ids]).astype(np.float32)
+        # np.stack already yields a fresh buffer; copy=False astypes and
+        # in-place rgb unnormalisation avoid three further full-image
+        # copies per sample (the host path is memory-bandwidth-bound)
+        states = np.stack([episode[1][i] for i in frame_ids]).astype(
+            np.float32, copy=False
+        )
 
         if episode[3]:
             cameras = list(episode[3][0].keys())
             assert all(c in cameras for c in self._cameras)
             index = [cameras.index(c) for c in self._cameras]
-            states = states[:, index]
+            if index != list(range(len(cameras))):
+                states = states[:, index]
 
-        rgbs = self._unnormalize_rgb(states[:, :, 0])
+        rgbs = states[:, :, 0]
+        rgbs *= 0.5  # stored [-1, 1] -> [0, 1] in place
+        rgbs += 0.5  # (dataset_engine.py:135-137)
         pcds = states[:, :, 1]
         action = np.concatenate(
             [episode[2][i] for i in frame_ids]
@@ -233,8 +236,8 @@ class RLBenchDataset:
 
         sample = {
             "task": [task for _ in frame_ids],
-            "rgbs": rgbs.astype(np.float32),
-            "pcds": pcds.astype(np.float32),
+            "rgbs": rgbs.astype(np.float32, copy=False),
+            "pcds": pcds.astype(np.float32, copy=False),
             "action": action[..., : self._action_dim],
             "instr": instr,
             "curr_gripper": gripper[..., : self._action_dim],

@@ -15,6 +15,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..data.compact import expand_batch
 from ..models import Act3D, DiffusionPlanner
 from ..utils.testing import BOUNDS
 
@@ -83,6 +84,7 @@ def diffusion_loss_fn(model: DiffusionPlanner, compute_dtype=None):
     """
 
     def loss_fn(params, batch, rng):
+        batch = expand_batch(batch)  # no-op unless compact-encoded
         dropout_rng, noise_rng = jax.random.split(rng)
         loss = model.apply(
             {"params": _cast_tree(params, compute_dtype)},
@@ -106,6 +108,7 @@ def diffusion_metrics_fn(model: DiffusionPlanner):
     """(params, batch, rng) -> eval metric dict (deterministic loss)."""
 
     def metrics_fn(params, batch, rng):
+        batch = expand_batch(batch)
         loss = model.apply(
             {"params": params},
             batch["trajectory"],
@@ -133,6 +136,7 @@ def keypose_loss_fn(
     main_keypose.py:84: 'considerably speeds up training')."""
 
     def loss_fn(params, batch, rng):
+        batch = expand_batch(batch)  # no-op unless compact-encoded
         sample_rng, dropout_rng = jax.random.split(rng)
         out = model.apply(
             {"params": _cast_tree(params, compute_dtype)},

@@ -39,7 +39,10 @@ def _time(fn, iters, warmup=2):
     return float(np.median(times))
 
 
-def build_dataset(root, *, training=True, cache_size=100, traj=True, seed=0):
+def build_dataset(
+    root, *, training=True, cache_size=100, traj=True, seed=0,
+    augment_host=True,
+):
     from act3d_tpu.data.dataset import RLBenchDataset
     from act3d_tpu.data.fixtures import make_instructions
 
@@ -57,6 +60,7 @@ def build_dataset(root, *, training=True, cache_size=100, traj=True, seed=0):
         interpolation_length=50,
         action_dim=7,
         seed=seed,
+        augment_host=augment_host,
     )
 
 
@@ -105,6 +109,17 @@ def main():
         emit("data_noaugment_samples_per_sec", batch / dt_plain, "samples/sec")
         emit("data_augment_ms_per_batch", (dt_warm - dt_plain) * 1e3, "ms")
 
+        # -- device-augment mode: host decodes + stacks only, the resize /
+        # yaw-rotate run inside the jitted step (data/device_augment.py)
+        dev = build_dataset(root, cache_size=100, augment_host=False)
+        dev.sample_batch(batch)
+        dt_dev = _time(lambda: dev.sample_batch(batch), iters)
+        emit(
+            "data_deviceaugment_host_samples_per_sec",
+            batch / dt_dev,
+            "samples/sec",
+        )
+
         # -- multi-process sampler (if present)
         try:
             from act3d_tpu.data.pipeline import MultiProcessSampler
@@ -150,11 +165,15 @@ def main():
         mesh = make_mesh(num_devices=1)
         trainer = Trainer(loss_fn, variables["params"], mesh=mesh)
 
+        compact = os.environ.get("BENCH_COMPACT", "0") == "1"
+        if compact:
+            from act3d_tpu.data.compact import compact_batch
+
         def host_batch():
             b = warm.sample_batch(batch)
             b.pop("task", None)
             b.pop("curr_gripper_history", None)
-            return b
+            return compact_batch(b) if compact else b
 
         feeder = DeviceFeeder(host_batch, sharding=batch_sharding(mesh), prefetch=2)
         try:
@@ -175,7 +194,8 @@ def main():
             run_chain(2)  # compile + warm
             chain = max(iters, 10)
             dt_e2e = _time(lambda: run_chain(chain), 3, warmup=1) / chain
-            emit("e2e_train_samples_per_sec", batch / dt_e2e, "samples/sec")
+            name = "e2e_compact" if compact else "e2e"
+            emit(f"{name}_train_samples_per_sec", batch / dt_e2e, "samples/sec")
         finally:
             feeder.close()
 
