@@ -107,6 +107,17 @@ class Actioner:
                 ],
                 axis=1,
             )
+            # coarse/fine positions for the video overlays (the recorder
+            # reads output.get("coarse_position") — utils_with_rlbench.py:
+            # 634-635; the reference actioner never populated them)
+            pyramid = pred.get("position_pyramid")
+            if pyramid:
+                output["coarse_position"] = (
+                    np.asarray(pyramid[0]).reshape(-1, 3)[-1]
+                )
+                output["fine_position"] = (
+                    np.asarray(pred["position"]).reshape(-1, 3)[-1]
+                )
         else:
             output["action"] = np.asarray(gt_action)[:, -1]
 
