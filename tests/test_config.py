@@ -91,3 +91,20 @@ def test_grad_accumulation_steps():
     np.testing.assert_allclose(np.asarray(trainer.state.params["w"]), w0)
     trainer.step(batch, jax.random.PRNGKey(1))
     assert not np.allclose(np.asarray(trainer.state.params["w"]), w0)
+
+
+def test_round2_flags_parse():
+    from act3d_tpu.core.config import KeyposeConfig, parse_config
+
+    cfg = parse_config(
+        KeyposeConfig,
+        ["--fsdp", "4", "--compact_transfer", "1",
+         "--best_checkpoint_metric", "mean/rot_l1"],
+    )
+    assert cfg.fsdp == 4
+    assert cfg.compact_transfer == 1
+    assert cfg.best_checkpoint_metric == "mean/rot_l1"
+    # defaults: pure-dp mesh, f32 wire, per-entry best metric
+    d = parse_config(KeyposeConfig, [])
+    assert d.fsdp == 1 and d.compact_transfer == 0
+    assert d.best_checkpoint_metric == "default"
