@@ -53,6 +53,12 @@ class DiffusionHead(nn.Module):
 
     def setup(self):
         dim = self.embedding_dim
+        if dim % 3 != 0 or dim % self.num_attn_heads != 0:
+            raise ValueError(
+                f"embedding_dim {dim} must divide by 3 (rotary-3D splits "
+                f"one band per spatial axis, ops/rotary.py) and by "
+                f"num_attn_heads {self.num_attn_heads}"
+            )
         self.visual_encoder = VisualEncoder(
             backbone=self.backbone,
             image_size=self.image_size,
