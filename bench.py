@@ -356,7 +356,7 @@ def main():
     # sample through BOTH trainings.  The A100 baseline for the same
     # pipeline is 1 / (2 / ASSUMED_A100_SAMPLES_PER_SEC) = 40 samples/s.
     act3d_sps = bench_train(
-        "act3d", int(os.environ.get("BENCH_BATCH_ACT3D", "16"))
+        "act3d", int(os.environ.get("BENCH_BATCH_ACT3D", "32"))
     )
     diffusion_sps = bench_train("diffusion", batch)
     pipeline_sps = 1.0 / (1.0 / act3d_sps + 1.0 / diffusion_sps)
