@@ -146,6 +146,17 @@ def main(argv=None):
     p.add_argument("--num_videos", type=int, default=10)
     p.add_argument("--log_dir", default="eval_logs")
     p.add_argument("--output", default="eval_results.json")
+    # reference eval1.py parity flags (Arguments, eval1.py:23-70)
+    p.add_argument("--seed", type=int, default=2)
+    p.add_argument("--offline", type=int, default=0,
+                   help="1: follow ground-truth keyposes (eval1.py:49)")
+    p.add_argument("--verbose", type=int, default=0)
+    p.add_argument("--collision_checking", type=int, default=0)
+    p.add_argument("--dense_interpolation", type=int, default=1)
+    p.add_argument("--predict_keypose", type=int, default=1)
+    p.add_argument("--predict_traj", type=int, default=1)
+    p.add_argument("--use_instruction", type=int, default=1)
+    p.add_argument("--action_dim", type=int, default=7)
     args = p.parse_args(argv)
 
     if args.gripper_loc_bounds:
@@ -168,14 +179,17 @@ def main(argv=None):
         traj_model=traj_model,
         traj_params=traj_params,
         instructions=instructions,
-        predict_keypose=True,
-        predict_trajectory=True,
+        action_dim=args.action_dim,
+        predict_keypose=bool(args.predict_keypose),
+        predict_trajectory=bool(args.predict_traj),
+        seed=args.seed,
     )
     env = RLBenchEnv(
         data_path=args.data_dir,
         image_size=tuple(int(x) for x in args.image_size.split(",")),
         apply_cameras=tuple(args.cameras),
         headless=bool(args.headless),
+        collision_checking=bool(args.collision_checking),
     )
 
     results = {}
@@ -187,8 +201,10 @@ def main(argv=None):
             num_demos=args.num_demos,
             actioner=actioner,
             max_tries=args.max_tries,
-            dense_interpolation=True,
+            offline=bool(args.offline),
+            dense_interpolation=bool(args.dense_interpolation),
             interpolation_length=args.interpolation_length,
+            verbose=bool(args.verbose),
             record_videos=bool(args.record_videos),
             num_videos=args.num_videos,
             log_dir=args.log_dir,

@@ -72,14 +72,30 @@ def main(argv=None):
         action_dim=8,
         seed=cfg.seed,
     )
-    train_ds = RLBenchDataset(
+    train_kwargs = dict(
         root=cfg.dataset, cache_size=cfg.cache_size, training=True,
         num_iters=cfg.train_iters, **common,
     )
+    train_ds = RLBenchDataset(**train_kwargs)
     val_ds = RLBenchDataset(
         root=cfg.valset, cache_size=cfg.cache_size_val, training=False,
         **common,
     )
+
+    # Multi-worker batch assembly (reference --num_workers DataLoader
+    # semantics, engine.py:51-62): fork the shared-memory sampler BEFORE
+    # any real jax compute initialises device threads.
+    train_sampler = None
+    if cfg.num_workers > 1:
+        from ..data.pipeline import MultiProcessSampler
+
+        train_sampler = MultiProcessSampler(
+            lambda seed: RLBenchDataset(
+                **{**train_kwargs, "seed": cfg.seed + 1000 * (seed + 1)}
+            ),
+            batch_size=cfg.batch_size,
+            num_workers=cfg.num_workers,
+        )
 
     model = Act3D(
         backbone=cfg.backbone,
@@ -201,7 +217,11 @@ def main(argv=None):
         return metrics
 
     def _train_batch():
-        b = to_model_batch(train_ds.sample_batch(cfg.batch_size))
+        b = to_model_batch(
+            next(train_sampler)
+            if train_sampler is not None
+            else train_ds.sample_batch(cfg.batch_size)
+        )
         if cfg.compact_transfer:
             from ..data.compact import compact_batch
 
@@ -247,6 +267,8 @@ def main(argv=None):
             )
             print(f"Step {step_id}: loss {loss:.4f} val {val_metrics}")
     feeder.close()
+    if train_sampler is not None:
+        train_sampler.close()
 
 
 if __name__ == "__main__":

@@ -48,15 +48,16 @@ def build_datasets(cfg: TrajectoryConfig, instruction):
         action_dim=cfg.action_dim,
         seed=cfg.seed,
     )
-    train = RLBenchDataset(
+    train_kwargs = dict(
         root=cfg.dataset, cache_size=cfg.cache_size, training=True,
         num_iters=cfg.train_iters, **common,
     )
+    train = RLBenchDataset(**train_kwargs)
     val = RLBenchDataset(
         root=cfg.valset, cache_size=cfg.cache_size_val, training=False,
         **common,
     )
-    return train, val
+    return train, val, train_kwargs
 
 
 def main(argv=None):
@@ -82,7 +83,22 @@ def main(argv=None):
     if instruction is None:
         raise NotImplementedError("instructions.pkl is required")
 
-    train_ds, val_ds = build_datasets(cfg, instruction)
+    train_ds, val_ds, train_kwargs = build_datasets(cfg, instruction)
+
+    # Multi-worker batch assembly (reference --num_workers DataLoader
+    # semantics, engine.py:51-62): fork the shared-memory sampler BEFORE
+    # any real jax compute initialises device threads.
+    train_sampler = None
+    if cfg.num_workers > 1:
+        from ..data.pipeline import MultiProcessSampler
+
+        train_sampler = MultiProcessSampler(
+            lambda seed: RLBenchDataset(
+                **{**train_kwargs, "seed": cfg.seed + 1000 * (seed + 1)}
+            ),
+            batch_size=cfg.batch_size,
+            num_workers=cfg.num_workers,
+        )
 
     model = DiffusionPlanner(
         backbone=cfg.backbone,
@@ -156,7 +172,11 @@ def main(argv=None):
         return metrics
 
     def _train_batch():
-        b = to_model_batch(train_ds.sample_batch(cfg.batch_size))
+        b = to_model_batch(
+            next(train_sampler)
+            if train_sampler is not None
+            else train_ds.sample_batch(cfg.batch_size)
+        )
         if cfg.compact_transfer:
             from ..data.compact import compact_batch
 
@@ -253,6 +273,8 @@ def main(argv=None):
             )
             print(f"Step {step_id}: loss {loss:.4f} val {val_metrics}")
     feeder.close()
+    if train_sampler is not None:
+        train_sampler.close()
 
 
 if __name__ == "__main__":
