@@ -35,3 +35,9 @@ python -m act3d_tpu.train.main_trajectory \
   --image_rescale 0.75,1.25 \
   --exp_log_dir diffusion \
   --run_log_dir "$(date +%y%m%d_%H%M%S)"
+
+# TPU-deployment extras (all optional):
+#   --mixed_precision 1     bf16 compute, f32 master weights (headline cfg)
+#   --fsdp N                ZeRO-style param/optimizer sharding over N-way axis
+#   --num_workers K         multi-process shared-memory batch assembly
+#   --compact_transfer 1    uint8 rgb + f16 pcd over the host->device link
