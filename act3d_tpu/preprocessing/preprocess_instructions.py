@@ -48,12 +48,23 @@ def load_annotations(path) -> Dict[str, Dict[int, List[str]]]:
 
 
 def encode_instructions(
-    texts: List[str], encoder: str = "clip", max_length: int = 53
+    texts: List[str],
+    encoder: str = "clip",
+    max_length: int = 53,
+    tokenizer=None,
+    model=None,
 ) -> np.ndarray:
-    """(n,) strings -> (n, max_length, 512) float32 via the text encoder."""
+    """(n,) strings -> (n, max_length, 512) float32 via the text encoder.
+
+    `tokenizer`/`model` may be injected (tests use a locally-built BPE
+    vocab + randomly-initialised CLIPTextModel, since this environment
+    has no network for from_pretrained downloads); the default resolves
+    the reference's published encoders."""
     import torch
 
-    if encoder == "clip":
+    if tokenizer is not None and model is not None:
+        pass
+    elif encoder == "clip":
         from transformers import CLIPTextModel, CLIPTokenizer
 
         tokenizer = CLIPTokenizer.from_pretrained("openai/clip-vit-base-patch32")
@@ -93,7 +104,7 @@ def synthetic_instructions(task: str, variation: int) -> Optional[List[str]]:
     return None
 
 
-def main(argv=None):
+def main(argv=None, tokenizer=None, model=None):
     p = argparse.ArgumentParser()
     p.add_argument("--tasks", nargs="+", required=True)
     p.add_argument("--variations", nargs="*", type=int, default=[0])
@@ -116,7 +127,8 @@ def main(argv=None):
                 "--annotations or install the RLBench simulator stack"
             )
         feats = encode_instructions(
-            instr, args.encoder, args.model_max_length
+            instr, args.encoder, args.model_max_length,
+            tokenizer=tokenizer, model=model,
         )
         if args.zero:
             feats = np.zeros_like(feats)
