@@ -72,6 +72,10 @@ class CommonConfig:
     # Ship training batches as uint8 rgb + f16 pcd and decode inside the
     # jitted step (data/compact.py): 2.6x less host->device traffic.
     compact_transfer: int = 0
+    # Resume from <log_dir>/last.msgpack automatically when it exists and
+    # no --checkpoint was given — preemption-safe relaunch with the same
+    # command line.  Pair with the SIGTERM checkpoint (GracefulShutdown).
+    auto_resume: int = 1
     use_tensorboard: int = 0
     fast_prng: int = 1  # TPU-native rbg PRNG (see core.cache.enable_fast_prng)
     mixed_precision: int = 0  # bf16 compute with f32 master weights

@@ -39,7 +39,49 @@ from ..parallel.mesh import (
 )
 from .optim import make_optimizer
 
-__all__ = ["TrainState", "Trainer", "MetricLogger"]
+__all__ = ["TrainState", "Trainer", "MetricLogger", "GracefulShutdown"]
+
+
+class GracefulShutdown:
+    """SIGTERM/SIGINT → finish the in-flight step, checkpoint, exit clean.
+
+    Preemptible TPU VMs deliver SIGTERM shortly before reclaim; the
+    reference has no handling (a preempted run loses everything since the
+    last val_freq checkpoint, engine.py:155-180).  Use as a context
+    manager around the training loop and poll ``requested``:
+
+        with GracefulShutdown() as stop:
+            for step in ...:
+                trainer.step(...)
+                if stop.requested:
+                    trainer.save_checkpoint(log_dir)
+                    break
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self.signals = (
+            signals
+            if signals is not None
+            else (_signal.SIGTERM, _signal.SIGINT)
+        )
+        self.requested = False
+        self._prev = {}
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def __enter__(self):
+        for s in self.signals:
+            self._prev[s] = self._signal.signal(s, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._prev.items():
+            self._signal.signal(s, prev)
+        return False
 
 
 @dataclasses.dataclass

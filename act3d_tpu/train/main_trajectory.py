@@ -159,6 +159,9 @@ def main(argv=None):
     )
     if cfg.checkpoint:
         trainer.load_checkpoint(cfg.checkpoint)
+    elif cfg.auto_resume and (cfg.log_dir / "last.msgpack").exists():
+        print(f"Auto-resuming from {cfg.log_dir / 'last.msgpack'}")
+        trainer.load_checkpoint(cfg.log_dir / "last.msgpack")
 
     if cfg.eval_only:
         n_val = max(5, 4 * max(len(cfg.tasks), 1) // cfg.batch_size_val)
@@ -223,9 +226,20 @@ def main(argv=None):
             trainer.logger._tb.add_image("val-viz/viz", img, step_id)
         return scalars
 
+    from ..train.engine import GracefulShutdown
+
     rng = jax.random.PRNGKey(cfg.seed + 1)
     start = int(trainer.state.step)
+    stop = GracefulShutdown()
+    stop.__enter__()
     for step_id in range(start, cfg.train_iters):
+        if stop.requested:
+            # SIGTERM/SIGINT (e.g. TPU-VM preemption notice): save a
+            # resumable last.msgpack and exit cleanly; auto_resume picks
+            # it up on relaunch.
+            print(f"Shutdown requested: checkpointing at step {step_id}")
+            trainer.save_checkpoint(cfg.log_dir)
+            break
         batch = next(feeder)
         rng, sub = jax.random.split(rng)
         out = trainer.step(batch, sub)
@@ -272,6 +286,7 @@ def main(argv=None):
                 new_loss=val_metrics.get(metric_key) if metric_key else None,
             )
             print(f"Step {step_id}: loss {loss:.4f} val {val_metrics}")
+    stop.__exit__()
     feeder.close()
     if train_sampler is not None:
         train_sampler.close()

@@ -148,3 +148,56 @@ def test_visualize_episode(tmp_path):
     img = visualize_episode(path, out_path=tmp_path / "viz.png")
     assert img.ndim == 3 and img.shape[-1] == 3
     assert (tmp_path / "viz.png").exists()
+
+
+def test_graceful_shutdown_flag_and_restore():
+    import os
+    import signal
+
+    from act3d_tpu.train.engine import GracefulShutdown
+
+    prev = signal.getsignal(signal.SIGTERM)
+    with GracefulShutdown() as stop:
+        assert not stop.requested
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert stop.requested
+    # original handler restored on exit
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+
+def test_shutdown_checkpoints_and_resumes(tmp_path, rng):
+    """The preemption pattern: loop breaks on signal, saves last.msgpack,
+    a fresh trainer auto-resumes from it at the interrupted step."""
+    import os
+    import signal
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from act3d_tpu.parallel.mesh import make_mesh
+    from act3d_tpu.train.engine import GracefulShutdown, Trainer
+
+    params = {"w": jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))}
+
+    def loss_fn(p, batch, key):
+        return jnp.mean((batch["x"] @ p["w"]) ** 2), {}
+
+    batch = {"x": jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))}
+    t1 = Trainer(loss_fn, params, mesh=make_mesh(num_devices=1), lr=1e-2)
+    with GracefulShutdown() as stop:
+        for step in range(100):
+            if stop.requested:
+                t1.save_checkpoint(tmp_path)
+                break
+            t1.step(batch, jax.random.PRNGKey(step))
+            if step == 2:  # preemption notice arrives mid-training
+                os.kill(os.getpid(), signal.SIGTERM)
+    assert (tmp_path / "last.msgpack").exists()
+
+    t2 = Trainer(loss_fn, params, mesh=make_mesh(num_devices=1), lr=1e-2)
+    t2.load_checkpoint(tmp_path / "last.msgpack")
+    assert int(t2.state.step) == 3
+    np.testing.assert_array_equal(
+        np.asarray(t1.state.params["w"]), np.asarray(t2.state.params["w"])
+    )
