@@ -14,7 +14,10 @@ Usage (from the repo root; ~6-10 min on one CPU core):
 
 import os
 import pickle
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["JAX_PLATFORMS"] = "cpu"
