@@ -79,6 +79,11 @@ class CommonConfig:
     use_tensorboard: int = 0
     fast_prng: int = 1  # TPU-native rbg PRNG (see core.cache.enable_fast_prng)
     mixed_precision: int = 0  # bf16 compute with f32 master weights
+    # Flattened-group AdamW (train/optim.py): each decay group updates one
+    # concatenated vector (2 fused ops vs ~300 per-leaf fusions).  The
+    # opt_state checkpoint layout differs from the per-leaf form — set 0
+    # to load checkpoints written before the flat layout existed.
+    flat_optimizer: int = 1
 
     @property
     def image_size_tuple(self) -> Tuple[int, int]:

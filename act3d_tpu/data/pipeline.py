@@ -9,6 +9,13 @@ slots; the parent hands out free slots and receives ready ones through
 queues, so steady-state cost in the parent is one memcpy per batch (or
 zero with ``copy=False``).
 
+Workers start via **forkserver** (fallback: spawn) — never fork: the
+parent runs multithreaded JAX, and fork()ing a multithreaded process can
+deadlock the child in a held allocator/runtime lock (exactly the torch
+DataLoader-with-CUDA hazard; a real many-core TPU host is where it
+bites).  Consequence: ``dataset_factory`` must be *picklable* — a
+module-level function or ``functools.partial`` over one, not a closure.
+
 Layering: MultiProcessSampler (host batches) → DeviceFeeder (async H2D)
 → jitted train step.  On a many-core host the workers hide decode +
 augmentation behind device compute; the assembly cost measured by
@@ -17,15 +24,40 @@ augmentation behind device compute; the assembly cost measured by
 
 from __future__ import annotations
 
+import functools
 import multiprocessing as mp
 from multiprocessing import shared_memory
 from typing import Callable, Dict, Iterator, List, Tuple
 
 import numpy as np
 
-__all__ = ["MultiProcessSampler"]
+__all__ = ["MultiProcessSampler", "rlbench_dataset_factory"]
+
+
+def _build_rlbench_dataset(dataset_kwargs, base_seed, seed):
+    from .dataset import RLBenchDataset
+
+    return RLBenchDataset(
+        **{**dataset_kwargs, "seed": base_seed + 1000 * (seed + 1)}
+    )
+
+
+def rlbench_dataset_factory(dataset_kwargs: dict, base_seed: int):
+    """Picklable worker-dataset factory (forkserver/spawn-safe): worker
+    ``w`` receives seed ``base_seed + 1000*(w+1)`` — disjoint
+    augmentation/sampling RNG streams per worker (the reference seeds
+    DataLoader workers similarly, engine.py:40-44)."""
+    return functools.partial(
+        _build_rlbench_dataset, dict(dataset_kwargs), base_seed
+    )
 
 _SENTINEL = -1
+
+# Segments whose mapping must outlive their sampler because a copy=False
+# consumer still holds zero-copy views into them at close() time (see
+# MultiProcessSampler.close): kept for the process lifetime rather than
+# unmapping memory under live arrays.
+_UNCLOSED: List[shared_memory.SharedMemory] = []
 
 
 def _worker_loop(factory, seed, batch_size, schema, shm_names, free_q, ready_q):
@@ -69,8 +101,9 @@ class MultiProcessSampler:
 
     Args:
       dataset_factory: seed -> dataset exposing ``sample_batch(batch_size)``.
-        Called once per worker *in the worker process* (fork start method,
-        so closures are fine; create the sampler before initialising jax).
+        Called once per worker *in the worker process*.  Must be picklable
+        (forkserver/spawn start methods): a module-level function or a
+        ``functools.partial`` over one.
       batch_size: samples per batch.
       num_workers: worker process count.
       slots_per_worker: shared-memory batches in flight per worker.
@@ -78,7 +111,10 @@ class MultiProcessSampler:
         the slot immediately.  With False it returns zero-copy views and the
         previous batch's slot is recycled on the following ``__next__`` —
         the consumer must be done with a batch (e.g. H2D transfer complete)
-        before requesting the next one.
+        before requesting the next one, and must drop all views before (or
+        promptly after) ``close()``: segments still referenced at close()
+        stay mapped for the process lifetime (never unmapped under a live
+        array) but their shared-memory names are unlinked immediately.
     """
 
     def __init__(
@@ -100,7 +136,13 @@ class MultiProcessSampler:
             for s, d in self._schema.values()
         )
 
-        ctx = mp.get_context("fork")
+        # forkserver: workers fork from a clean single-threaded server
+        # process, never from the (multithreaded, JAX-initialised) parent.
+        try:
+            ctx = mp.get_context("forkserver")
+        except ValueError:  # platform without forkserver
+            ctx = mp.get_context("spawn")
+        self._handed_out_views = False
         self._free_q = ctx.Queue()
         self._ready_q = ctx.Queue()
         self._shms: List[shared_memory.SharedMemory] = []
@@ -144,6 +186,7 @@ class MultiProcessSampler:
         else:
             batch = dict(views)
             self._pending_recycle = slot
+            self._handed_out_views = True
         batch.update(aux)
         return batch
 
@@ -154,12 +197,25 @@ class MultiProcessSampler:
             p.join(timeout=5)
             if p.is_alive():
                 p.terminate()
+        # A copy=False consumer may still hold zero-copy views into the
+        # segments (numpy does not keep a PEP-3118 export open, so
+        # shm.close() would silently unmap under the live array and any
+        # later read would segfault).  If any view was ever handed out,
+        # unlink the names (freeing them system-wide) but keep the
+        # mappings alive for the process lifetime in _UNCLOSED.
+        self._views = {}
+        self._pending_recycle = None
+        leak = not self._copy and self._handed_out_views
         for s in self._shms:
-            s.close()
             try:
                 s.unlink()
             except FileNotFoundError:
                 pass
+            if leak:
+                _UNCLOSED.append(s)
+            else:
+                s.close()
+        self._shms = []
 
     def __enter__(self):
         return self

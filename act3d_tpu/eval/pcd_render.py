@@ -122,16 +122,26 @@ def render_points(
     point_radius: int = 1,
     background: float = 1.0,
     near: float = 1e-3,
+    base: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Z-buffered splat of an (N, 3) cloud with (N, 3) colors -> uint8
     (H, W, 3).
 
     Each point covers a (2r+1)^2 pixel block; nearest point wins per pixel
-    (painter's algorithm: points sorted far-to-near, later writes
-    overwrite).  Vectorised — no per-point Python loop.
+    (painter's algorithm: all splat pixels of all points sorted far-to-near
+    in ONE scatter, so a far point's edge pixel can never overwrite a near
+    point's center pixel).  Vectorised — no per-point Python loop.
+
+    ``base``: optional uint8 (H, W, 3) image to paint over instead of a
+    flat background — a second call with `base` draws its points as a
+    decal layer on top of an earlier render (depth is still resolved
+    *within* the call, but not against the base image).
     """
     h, w = image_size
-    img = np.full((h, w, 3), float(background), np.float32)
+    if base is not None:
+        img = base.astype(np.float32) / 255.0
+    else:
+        img = np.full((h, w, 3), float(background), np.float32)
     points = np.asarray(points, np.float64).reshape(-1, 3)
     colors = np.asarray(colors, np.float32).reshape(-1, 3)
     if points.shape[0] == 0:
@@ -149,17 +159,21 @@ def render_points(
     ui = np.round(u).astype(np.int64)
     vi = np.round(v).astype(np.int64)
 
-    # far-to-near ordering so the nearest point's write lands last
-    order = np.argsort(-z, kind="stable")
-    ui, vi, colors = ui[order], vi[order], colors[order]
-
+    # Expand every point to its (2r+1)^2 splat pixels, then do a single
+    # far-to-near-sorted scatter over ALL of them — sorting per offset
+    # pass would let a far point's edge pixel (written in a later pass)
+    # overwrite a near point's center pixel.
     r = int(point_radius)
-    for dv in range(-r, r + 1):
-        for du in range(-r, r + 1):
-            uu = ui + du
-            vv = vi + dv
-            ok = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
-            img[vv[ok], uu[ok]] = colors[ok]
+    k = 2 * r + 1
+    dv, du = np.mgrid[-r : r + 1, -r : r + 1]
+    uu = (ui[None, :] + du.reshape(-1, 1)).ravel()
+    vv = (vi[None, :] + dv.reshape(-1, 1)).ravel()
+    zz = np.broadcast_to(z, (k * k, z.size)).ravel()
+    cc = np.broadcast_to(colors, (k * k,) + colors.shape).reshape(-1, 3)
+    ok = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+    uu, vv, zz, cc = uu[ok], vv[ok], zz[ok], cc[ok]
+    order = np.argsort(-zz, kind="stable")
+    img[vv[order], uu[order]] = cc[order]
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
@@ -341,6 +355,19 @@ def get_point_cloud_images(
     center = np.median(all_pts, axis=0)
     default_ext = topdown_extrinsic(center)
 
+    def render_view(pts, cols, ext, with_overlay):
+        """Cloud render, then the marker geometry as a decal layer on top
+        (depth-resolved among themselves): the markers are diagnostic
+        annotations — the reference draws them as large bright meshes
+        precisely to be seen (video_utils.py:137-196), so a dense cloud
+        must not swallow them."""
+        img = render_points(pts, cols, ext, intr, image_size)
+        if with_overlay and overlay_pts is not None:
+            img = render_points(
+                overlay_pts, overlay_cols, ext, intr, image_size, base=img
+            )
+        return img
+
     imgs = []
     for cam in range(ncam):
         pts = pcd_obs[cam].reshape(-1, 3)
@@ -350,16 +377,11 @@ def get_point_cloud_images(
             if extrinsics is not None and extrinsics[cam] is not None
             else default_ext
         )
-        with_overlay = "shoulder" in view_names[cam]
-        if with_overlay and overlay_pts is not None:
-            pts = np.concatenate([pts, overlay_pts])
-            cols = np.concatenate([cols, overlay_cols])
-        imgs.append(render_points(pts, cols, ext, intr, image_size))
+        imgs.append(
+            render_view(pts, cols, ext, "shoulder" in view_names[cam])
+        )
 
-    agg_pts = all_pts
-    agg_cols = rgb_obs.reshape(-1, 3)
-    if overlay_pts is not None:
-        agg_pts = np.concatenate([agg_pts, overlay_pts])
-        agg_cols = np.concatenate([agg_cols, overlay_cols])
-    imgs.append(render_points(agg_pts, agg_cols, default_ext, intr, image_size))
+    imgs.append(
+        render_view(all_pts, rgb_obs.reshape(-1, 3), default_ext, True)
+    )
     return imgs

@@ -50,7 +50,9 @@ def _fused_enabled() -> bool:
         return env == "1"
     if _FUSED["enabled"] is not None:
         return _FUSED["enabled"]
-    return jax.default_backend() != "cpu"
+    # Strictly TPU: the kernel uses pltpu memory spaces and would crash
+    # on GPU backends (docstring contract: 'TPU on, others off').
+    return jax.default_backend() == "tpu"
 
 
 class AttentionParams(NamedTuple):

@@ -54,7 +54,7 @@ class GracefulShutdown:
             for step in ...:
                 trainer.step(...)
                 if stop.requested:
-                    trainer.save_checkpoint(log_dir)
+                    trainer.save_checkpoint(log_dir, last_only=True)
                     break
     """
 
@@ -162,9 +162,12 @@ class Trainer:
         mesh=None,
         log_dir: Optional[Path] = None,
         use_tensorboard: bool = False,
+        flat_optimizer: bool = True,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.tx = make_optimizer(params, lr=lr, weight_decay=weight_decay)
+        self.tx = make_optimizer(
+            params, lr=lr, weight_decay=weight_decay, flatten=flat_optimizer
+        )
         if accumulate_grad_batches > 1:
             self.tx = optax.MultiSteps(
                 self.tx, every_k_schedule=accumulate_grad_batches
@@ -291,8 +294,22 @@ class Trainer:
         return {k: v / max(count, 1) for k, v in sums.items()}
 
     # ------------------------------------------------------- checkpointing
-    def save_checkpoint(self, ckpt_dir: Path, new_loss: Optional[float] = None):
-        """best/last semantics of the reference (engine.py:214-230)."""
+    def save_checkpoint(
+        self,
+        ckpt_dir: Path,
+        new_loss: Optional[float] = None,
+        *,
+        last_only: bool = False,
+    ):
+        """best/last semantics of the reference (engine.py:214-230).
+
+        ``last_only=True`` writes only the resumable ``last.msgpack``
+        (the SIGTERM/preemption path): an arbitrary mid-training state
+        must never replace the tracked best checkpoint.  ``new_loss=None``
+        with ``last_only=False`` keeps the reference-degenerate
+        always-overwrite mode (``best_checkpoint_metric=""``,
+        reference main_keypose.py:281 keys on a never-emitted metric).
+        """
         ckpt_dir = Path(ckpt_dir)
         ckpt_dir.mkdir(parents=True, exist_ok=True)
         payload = {
@@ -308,7 +325,11 @@ class Trainer:
         blob = serialization.msgpack_serialize(
             jax.tree.map(np.asarray, _strip_nones(payload))
         )
-        if new_loss is None or self.best_loss is None or new_loss <= self.best_loss:
+        if not last_only and (
+            new_loss is None
+            or self.best_loss is None
+            or new_loss <= self.best_loss
+        ):
             self.best_loss = new_loss
             (ckpt_dir / "best.msgpack").write_bytes(blob)
         (ckpt_dir / "last.msgpack").write_bytes(blob)
@@ -323,9 +344,16 @@ class Trainer:
         }
         payload = serialization.msgpack_restore(blob)
         params = serialization.from_state_dict(template["params"], payload["params"])
-        opt_state = serialization.from_state_dict(
-            template["opt_state"], payload["opt_state"]
-        )
+        try:
+            opt_state = serialization.from_state_dict(
+                template["opt_state"], payload["opt_state"]
+            )
+        except (KeyError, ValueError) as e:
+            raise ValueError(
+                f"Optimizer state in {path} does not match this trainer's "
+                "layout. Checkpoints written with the per-leaf AdamW need "
+                "--flat_optimizer 0 (and vice versa); see train/optim.py."
+            ) from e
         self.state = TrainState(
             params=shard_params(params, self.mesh),
             opt_state=shard_params(opt_state, self.mesh),

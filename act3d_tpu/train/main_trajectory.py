@@ -86,16 +86,14 @@ def main(argv=None):
     train_ds, val_ds, train_kwargs = build_datasets(cfg, instruction)
 
     # Multi-worker batch assembly (reference --num_workers DataLoader
-    # semantics, engine.py:51-62): fork the shared-memory sampler BEFORE
-    # any real jax compute initialises device threads.
+    # semantics, engine.py:51-62).  Workers start via forkserver/spawn
+    # with a picklable factory — safe regardless of JAX's device threads.
     train_sampler = None
     if cfg.num_workers > 1:
-        from ..data.pipeline import MultiProcessSampler
+        from ..data.pipeline import MultiProcessSampler, rlbench_dataset_factory
 
         train_sampler = MultiProcessSampler(
-            lambda seed: RLBenchDataset(
-                **{**train_kwargs, "seed": cfg.seed + 1000 * (seed + 1)}
-            ),
+            rlbench_dataset_factory(train_kwargs, cfg.seed),
             batch_size=cfg.batch_size,
             num_workers=cfg.num_workers,
         )
@@ -156,6 +154,7 @@ def main(argv=None):
         mesh=mesh,
         log_dir=cfg.log_dir,
         use_tensorboard=bool(cfg.use_tensorboard),
+        flat_optimizer=bool(cfg.flat_optimizer),
     )
     if cfg.checkpoint:
         trainer.load_checkpoint(cfg.checkpoint)
@@ -238,7 +237,7 @@ def main(argv=None):
             # resumable last.msgpack and exit cleanly; auto_resume picks
             # it up on relaunch.
             print(f"Shutdown requested: checkpointing at step {step_id}")
-            trainer.save_checkpoint(cfg.log_dir)
+            trainer.save_checkpoint(cfg.log_dir, last_only=True)
             break
         batch = next(feeder)
         rng, sub = jax.random.split(rng)

@@ -19,6 +19,7 @@ Writes one JSON line per measurement.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import tempfile
@@ -78,6 +79,11 @@ def make_fixture_tree(tmp, n_episodes=4, n_frames=4, image_size=256):
     )
 
 
+def _mp_worker_dataset(root, seed):
+    """Module-level (picklable) factory for the forkserver/spawn workers."""
+    return build_dataset(root, cache_size=100, seed=seed)
+
+
 def emit(metric, value, unit):
     print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit}))
 
@@ -128,7 +134,7 @@ def main():
         if MultiProcessSampler is not None:
             n_workers = int(os.environ.get("BENCH_WORKERS", "2"))
             sampler = MultiProcessSampler(
-                lambda seed: build_dataset(root, cache_size=100, seed=seed),
+                functools.partial(_mp_worker_dataset, root),
                 batch_size=batch,
                 num_workers=n_workers,
                 slots_per_worker=2,

@@ -56,6 +56,39 @@ def test_zbuffer_nearest_point_wins():
         assert tuple(img[32, 32]) == (0, 0, 255)
 
 
+def test_far_edge_pixel_never_overwrites_near_center():
+    """ADVICE r2 regression: a far point whose splat *edge* covers a pixel
+    must lose to a near point whose splat *center* covers it, regardless
+    of which offset pass each write lands in."""
+    ext = look_at_extrinsic([0, 0, 2.0], [0, 0, 0], up=(0, 1, 0))
+    intr = default_intrinsic((64, 64))
+    f = intr[0, 0]
+    # near point projects exactly to (32, 32); far point one pixel up-left
+    # of it, so its (+1, +1) splat corner covers (32, 32) — in the old
+    # per-pass loop that corner write happened in the LAST pass and won.
+    far_off = 2.0 / f  # 1 px at depth 2.0 (far point at z=0.0 world)
+    pts = np.array([[0.0, 0.0, 0.5], [-far_off, far_off, 0.0]])
+    cols = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    img = render_points(pts, cols, ext, intr, (64, 64), point_radius=1)
+    assert tuple(img[32, 32]) == (0, 0, 255)
+
+
+def test_render_points_decal_base_layer():
+    ext = look_at_extrinsic([0, 0, 2.0], [0, 0, 0], up=(0, 1, 0))
+    intr = default_intrinsic((64, 64))
+    base = render_points(
+        np.array([[0.0, 0.0, 0.5]]), np.array([[0.0, 0.0, 1.0]]),
+        ext, intr, (64, 64), point_radius=0,
+    )
+    # decal point is FARTHER but paints over the base (annotation layer)
+    out = render_points(
+        np.array([[0.0, 0.0, 0.0]]), np.array([[1.0, 0.0, 0.0]]),
+        ext, intr, (64, 64), point_radius=0, base=base,
+    )
+    assert tuple(out[32, 32]) == (255, 0, 0)
+    assert tuple(out[0, 0]) == (255, 255, 255)  # background preserved
+
+
 def test_points_behind_camera_are_clipped():
     ext = look_at_extrinsic([0, 0, 2.0], [0, 0, 0], up=(0, 1, 0))
     intr = default_intrinsic((32, 32))

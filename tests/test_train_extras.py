@@ -84,6 +84,73 @@ def test_trainer_checkpoint_round_trip(tmp_path, rng):
     assert np.isfinite(float(out2["loss"]))
 
 
+def test_last_only_checkpoint_preserves_best(tmp_path, rng):
+    """ADVICE r2 (medium): the preemption path must write only
+    last.msgpack — a SIGTERM mid-run must not replace the tracked best
+    checkpoint or reset best_loss."""
+    from act3d_tpu.parallel.mesh import make_mesh
+    from act3d_tpu.train.engine import Trainer
+
+    params = {"w": jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))}
+
+    def loss_fn(p, batch, rng_):
+        return jnp.mean((batch["x"] @ p["w"] - batch["y"]) ** 2), {}
+
+    mesh = make_mesh(num_devices=2)
+    trainer = Trainer(loss_fn, params, mesh=mesh, lr=1e-2)
+    batch = {
+        "x": jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32)),
+        "y": jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32)),
+    }
+    trainer.step(batch, jax.random.PRNGKey(0))
+    trainer.save_checkpoint(tmp_path, new_loss=0.5)
+    best_blob = (tmp_path / "best.msgpack").read_bytes()
+
+    trainer.step(batch, jax.random.PRNGKey(1))
+    trainer.save_checkpoint(tmp_path, last_only=True)  # preemption path
+    assert (tmp_path / "best.msgpack").read_bytes() == best_blob
+    assert trainer.best_loss == 0.5
+    # last.msgpack did advance
+    from flax import serialization
+
+    payload = serialization.msgpack_restore(
+        (tmp_path / "last.msgpack").read_bytes()
+    )
+    assert int(payload["step"]) == 2
+
+    # reference-degenerate mode unchanged: new_loss=None without
+    # last_only still overwrites best (best_checkpoint_metric="")
+    trainer.save_checkpoint(tmp_path)
+    assert (tmp_path / "best.msgpack").read_bytes() != best_blob
+    assert trainer.best_loss is None
+
+
+def test_flat_optimizer_layout_mismatch_is_actionable(tmp_path, rng):
+    """ADVICE r2: loading a per-leaf-layout checkpoint into a flat-AdamW
+    trainer must raise an error that names the --flat_optimizer flag."""
+    from act3d_tpu.parallel.mesh import make_mesh
+    from act3d_tpu.train.engine import Trainer
+
+    params = {"head": {"w": jnp.ones((4, 4))}}
+
+    def loss_fn(p, batch, rng_):
+        return jnp.mean((batch["x"] @ p["head"]["w"]) ** 2), {}
+
+    mesh = make_mesh(num_devices=1)
+    batch = {"x": jnp.ones((4, 4), jnp.float32)}
+    legacy = Trainer(loss_fn, params, mesh=mesh, flat_optimizer=False)
+    legacy.step(batch, jax.random.PRNGKey(0))
+    legacy.save_checkpoint(tmp_path)
+
+    flat = Trainer(loss_fn, params, mesh=mesh, flat_optimizer=True)
+    with pytest.raises(ValueError, match="flat_optimizer"):
+        flat.load_checkpoint(tmp_path / "last.msgpack")
+    # and the legacy trainer itself can resume its own layout
+    legacy2 = Trainer(loss_fn, params, mesh=mesh, flat_optimizer=False)
+    legacy2.load_checkpoint(tmp_path / "last.msgpack")
+    assert int(legacy2.state.step) == 1
+
+
 def test_scanned_steps_match_individual(rng):
     from act3d_tpu.parallel.mesh import make_mesh, shard_batch
     from act3d_tpu.train.engine import Trainer
