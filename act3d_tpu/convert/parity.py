@@ -253,19 +253,35 @@ def write_request(model_kind: str, out_dir: str, bounds):
         **probe,
     )
     (out / "golden_runner.py").write_text(_GOLDEN_RUNNER)
+    # ship the diffusers scheduler golden dump with every packet, so one
+    # reference-machine session also produces the scheduler table that
+    # unskips tests/test_schedulers_golden.py (diffusers is absent here)
+    import shutil
+
+    from . import golden_scheduler
+
+    shutil.copyfile(
+        golden_scheduler.__file__, out / "scheduler_golden_runner.py"
+    )
     (out / "README.md").write_text(
         "Golden-request packet for act3d_tpu checkpoint parity.\n\n"
         "On a machine with the reference repo + torch/torchvision/diffusers/"
         "CLIP:\n\n"
         f"    python golden_runner.py --reference <ref_repo> "
-        f"--checkpoint <{model_kind}.pth> --probe probe.npz --out golden.npz\n\n"
+        f"--checkpoint <{model_kind}.pth> --probe probe.npz --out golden.npz\n"
+        "    python scheduler_golden_runner.py --out "
+        "ddpm_scheduler_golden.npz\n\n"
         "Back on the act3d_tpu side:\n\n"
         f"    python -m act3d_tpu.convert.parity dump --model {model_kind} "
         "--checkpoint <same.pth> --out ours.npz\n"
         "    python -m act3d_tpu.convert.parity compare ours.npz golden.npz "
         "--tol 1e-3\n"
+        "    cp ddpm_scheduler_golden.npz <act3d_tpu>/tests/golden/\n"
     )
-    print(f"wrote {out}/probe.npz, golden_runner.py, README.md")
+    print(
+        f"wrote {out}/probe.npz, golden_runner.py, "
+        "scheduler_golden_runner.py, README.md"
+    )
 
 
 def dump_diffusion(checkpoint: str, out: str, bounds):
