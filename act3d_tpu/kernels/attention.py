@@ -49,10 +49,111 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Attention-weight dropout (reference multihead_custom_attention.py:407-415)
+# inside the kernel: the keep mask is (re)generated from the TPU PRNG with a
+# seed folded from (base_seed, batch, l_tile, head), so the backward pass
+# reproduces the forward's exact mask without an (L, S) mask in HBM.  The
+# row-block size is pinned to _DROPOUT_L_TILE in BOTH passes so the
+# (batch, l_tile) seeding identifies the same rows.
+_DROPOUT_L_TILE = 128
+
+
+def _dropout_keep(seed_ref, h, shape, rate):
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1), h)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # drop with probability `rate`: bits < rate * 2^32
+    threshold = jnp.uint32(min(int(rate * 2.0**32), 2**32 - 1))
+    return bits >= threshold
+
+
+def _apply_dropout(p, keep, rate):
+    return jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+
+
+def _emulated_keep(seed, b, heads, l, s, rate):
+    """Interpret-mode stand-in for the in-kernel PRNG (pltpu.prng_* has no
+    CPU lowering): a deterministic function of the same seed, shared by
+    the fwd and bwd emulation paths so gradients stay consistent.  The
+    bit stream differs from the TPU kernel's — dropout semantics, not bit
+    parity, is the contract."""
+    key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32).reshape(()))
+    return jax.random.bernoulli(key, 1.0 - rate, (b, heads, l, s))
+
+
+def _split_heads(x, heads):
+    b, n, e = x.shape
+    return x.reshape(b, n, heads, e // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+def _dropout_interpret_fwd(q, k, v, num_heads, mask, rate, seed):
+    qh, kh, vh = (_split_heads(x, num_heads) for x in (q, k, v))
+    scores = jnp.einsum(
+        "bhld,bhsd->bhls", qh, kh, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, :], -1e30, scores)
+    p = jax.nn.softmax(scores, axis=-1)
+    keep = _emulated_keep(seed, *p.shape[:1], num_heads, *p.shape[2:], rate)
+    pd = _apply_dropout(p, keep, rate)
+    return _merge_heads(
+        jnp.einsum("bhls,bhsd->bhld", pd.astype(vh.dtype), vh)
+    ).astype(q.dtype)
+
+
+def _dropout_interpret_bwd(q, k, v, mask, g, num_heads, rate, seed):
+    qh, kh, vh, gh = (_split_heads(x, num_heads) for x in (q, k, v, g))
+    scores = jnp.einsum(
+        "bhld,bhsd->bhls", qh, kh, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, :], -1e30, scores)
+    p = jax.nn.softmax(scores, axis=-1)
+    keep = _emulated_keep(seed, *p.shape[:1], num_heads, *p.shape[2:], rate)
+    pd = _apply_dropout(p, keep, rate)
+    dv = jnp.einsum("bhls,bhld->bhsd", pd.astype(vh.dtype), gh)
+    dp = jnp.einsum(
+        "bhld,bhsd->bhls", gh, vh, preferred_element_type=jnp.float32
+    )
+    dp = _apply_dropout(dp, keep, rate)
+    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(q.dtype)
+    dq = jnp.einsum("bhls,bhsd->bhld", ds, kh)
+    dk = jnp.einsum("bhls,bhld->bhsd", ds, qh)
+    return _merge_heads(dq), _merge_heads(dk), _merge_heads(dv)
+
+
 # ---------------------------------------------------------------- fwd kernel
 def _mha_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int):
+    _mha_fwd_body(None, None, q_ref, k_ref, v_ref, o_ref, heads=heads,
+                  rate=0.0)
+
+
+def _mha_fwd_kernel_masked(mask_ref, q_ref, k_ref, v_ref, o_ref, *, heads: int):
+    _mha_fwd_body(mask_ref, None, q_ref, k_ref, v_ref, o_ref, heads=heads,
+                  rate=0.0)
+
+
+def _mha_fwd_kernel_dropout(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
+                            heads: int, rate: float):
+    _mha_fwd_body(None, seed_ref, q_ref, k_ref, v_ref, o_ref, heads=heads,
+                  rate=rate)
+
+
+def _mha_fwd_kernel_masked_dropout(seed_ref, mask_ref, q_ref, k_ref, v_ref,
+                                   o_ref, *, heads: int, rate: float):
+    _mha_fwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, heads=heads,
+                  rate=rate)
+
+
+def _mha_fwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, *,
+                  heads: int, rate: float):
     e = q_ref.shape[-1]
     d = e // heads
+    neg = jnp.float32(-1e30)
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         q = q_ref[0][:, sl]
@@ -62,29 +163,12 @@ def _mha_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int):
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Lt, S)
+        if mask_ref is not None:
+            s = jnp.where(mask_ref[0], neg, s)
         p = jax.nn.softmax(s, axis=-1)
-        o = jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
-
-
-def _mha_fwd_kernel_masked(mask_ref, q_ref, k_ref, v_ref, o_ref, *, heads: int):
-    e = q_ref.shape[-1]
-    d = e // heads
-    neg = jnp.float32(-1e30)
-    mask = mask_ref[0]  # (1, S)
-    for h in range(heads):
-        sl = slice(h * d, (h + 1) * d)
-        q = q_ref[0][:, sl]
-        k = k_ref[0][:, sl]
-        v = v_ref[0][:, sl]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = jnp.where(mask, neg, s)
-        p = jax.nn.softmax(s, axis=-1)
+        if rate > 0.0:
+            p = _apply_dropout(p, _dropout_keep(seed_ref, h, p.shape, rate),
+                               rate)
         o = jnp.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
@@ -96,25 +180,43 @@ def _mha_bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
     heads: int,
 ):
-    _mha_bwd_body(None, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                  dk_acc, dv_acc, heads=heads)
+    _mha_bwd_body(None, None, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
+                  dv_ref, dk_acc, dv_acc, heads=heads, rate=0.0)
 
 
 def _mha_bwd_kernel_masked(
     mask_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, dk_acc,
     dv_acc, *, heads: int,
 ):
-    _mha_bwd_body(mask_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
-                  dv_ref, dk_acc, dv_acc, heads=heads)
+    _mha_bwd_body(mask_ref, None, q_ref, k_ref, v_ref, do_ref, dq_ref,
+                  dk_ref, dv_ref, dk_acc, dv_acc, heads=heads, rate=0.0)
 
 
-def _mha_bwd_body(mask_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
-                  dv_ref, dk_acc, dv_acc, *, heads: int):
+def _mha_bwd_kernel_dropout(
+    seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, dk_acc,
+    dv_acc, *, heads: int, rate: float,
+):
+    _mha_bwd_body(None, seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
+                  dk_ref, dv_ref, dk_acc, dv_acc, heads=heads, rate=rate)
+
+
+def _mha_bwd_kernel_masked_dropout(
+    seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, heads: int, rate: float,
+):
+    _mha_bwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
+                  dk_ref, dv_ref, dk_acc, dv_acc, heads=heads, rate=rate)
+
+
+def _mha_bwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
+                  dk_ref, dv_ref, dk_acc, dv_acc, *, heads: int, rate: float):
     """One (batch, L-tile) backward step.
 
     The grid walks L-tiles innermost; dk/dv accumulate in f32 VMEM scratch
     across the tiles of one batch row and flush to HBM on the last tile —
-    nothing of size (L, S) ever leaves VMEM.
+    nothing of size (L, S) ever leaves VMEM.  With dropout, the keep mask
+    is regenerated from the same (seed, batch, l_tile, head) PRNG stream
+    as the forward (flash-style recompute, mask included).
     """
     e = q_ref.shape[-1]
     d = e // heads
@@ -139,18 +241,25 @@ def _mha_bwd_body(mask_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
         if mask_ref is not None:
             s = jnp.where(mask_ref[0], jnp.float32(-1e30), s)
         p = jax.nn.softmax(s, axis=-1)
-        pb = p.astype(v.dtype)
-        # dv += pᵀ @ do
+        if rate > 0.0:
+            keep = _dropout_keep(seed_ref, h, p.shape, rate)
+            pd = _apply_dropout(p, keep, rate)
+        else:
+            pd = p
+        pb = pd.astype(v.dtype)
+        # dv += p_dropᵀ @ do
         dv = jax.lax.dot_general(
             pb, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (S, d)
         dv_acc[:, sl] += dv
-        # dp = do @ vᵀ ; ds = p * (dp - rowsum(dp * p))
+        # dp = (do @ vᵀ) through the dropout mask; ds = softmax backward
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Lt, S)
+        if rate > 0.0:
+            dp = _apply_dropout(dp, keep, rate)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         dsb = ds.astype(q.dtype)
         dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32)
@@ -169,28 +278,44 @@ def _mha_bwd_body(mask_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
 
 # ------------------------------------------------------------------ wrappers
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(3, 5, 6, 7)
 )
 def fused_mha(q, k, v, num_heads, key_padding_mask=None, l_tile=512,
-              interpret=False):
+              interpret=False, dropout_rate=0.0, dropout_seed=None):
     """Multi-head softmax attention core on (B, L, E) tensors.
 
     q: (B, L, E) pre-scaled, post-rotary; k/v: (B, S, E);
     key_padding_mask: optional (B, S) bool, True = masked out.
+    dropout_rate / dropout_seed: attention-weight dropout (reference
+    multihead_custom_attention.py:407-415) applied INSIDE the kernel —
+    the keep mask comes from the TPU PRNG seeded per (seed, batch,
+    l_tile, head) and is regenerated identically in the backward pass;
+    ``dropout_seed`` is an int32 (1,) array.
     Returns (B, L, E) — per-head attention with heads taken as contiguous
     E/num_heads lane slices (identical to the reshape-based jnp path).
     """
     return _fused_mha_fwd_impl(
-        q, k, v, num_heads, key_padding_mask, l_tile, interpret
+        q, k, v, num_heads, key_padding_mask, l_tile, interpret,
+        dropout_rate, dropout_seed,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "l_tile", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "l_tile", "interpret", "dropout_rate"),
 )
-def _fused_mha_fwd_impl(q, k, v, num_heads, mask, l_tile, interpret):
+def _fused_mha_fwd_impl(q, k, v, num_heads, mask, l_tile, interpret,
+                        dropout_rate=0.0, dropout_seed=None):
     b, l, e = q.shape
     s = k.shape[1]
+    if dropout_rate > 0.0 and interpret:
+        return _dropout_interpret_fwd(
+            q, k, v, num_heads, mask, dropout_rate, dropout_seed
+        )
+    if dropout_rate > 0.0:
+        # pin the row-block size so the backward's (batch, l_tile) PRNG
+        # seeding addresses the same rows (see _dropout_keep)
+        l_tile = _DROPOUT_L_TILE
     lt = min(l_tile, _round_up(l, 128))
     l_pad = _round_up(l, lt)
     if l_pad != l:
@@ -203,9 +328,34 @@ def _fused_mha_fwd_impl(q, k, v, num_heads, mask, l_tile, interpret):
     kv_spec = pl.BlockSpec(
         (1, s, e), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
     )
+    mask_spec = pl.BlockSpec(
+        (1, 1, s), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shape = jax.ShapeDtypeStruct((b, l_pad, e), q.dtype)
 
-    if mask is None:
+    if dropout_rate > 0.0:
+        seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+        if mask is None:
+            kern = functools.partial(
+                _mha_fwd_kernel_dropout, heads=num_heads, rate=dropout_rate
+            )
+            out = pl.pallas_call(
+                kern, out_shape=out_shape, grid=grid,
+                in_specs=[seed_spec, q_spec, kv_spec, kv_spec],
+                out_specs=q_spec, interpret=interpret,
+            )(seed, q, k, v)
+        else:
+            kern = functools.partial(
+                _mha_fwd_kernel_masked_dropout, heads=num_heads,
+                rate=dropout_rate,
+            )
+            out = pl.pallas_call(
+                kern, out_shape=out_shape, grid=grid,
+                in_specs=[seed_spec, mask_spec, q_spec, kv_spec, kv_spec],
+                out_specs=q_spec, interpret=interpret,
+            )(seed, mask[:, None, :], q, k, v)
+    elif mask is None:
         out = pl.pallas_call(
             functools.partial(_mha_fwd_kernel, heads=num_heads),
             out_shape=out_shape,
@@ -215,9 +365,6 @@ def _fused_mha_fwd_impl(q, k, v, num_heads, mask, l_tile, interpret):
             interpret=interpret,
         )(q, k, v)
     else:
-        mask_spec = pl.BlockSpec(
-            (1, 1, s), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
-        )
         out = pl.pallas_call(
             functools.partial(_mha_fwd_kernel_masked, heads=num_heads),
             out_shape=out_shape,
@@ -229,17 +376,27 @@ def _fused_mha_fwd_impl(q, k, v, num_heads, mask, l_tile, interpret):
     return out[:, :l]
 
 
-def _fused_mha_fwd(q, k, v, num_heads, mask, l_tile, interpret):
-    out = _fused_mha_fwd_impl(q, k, v, num_heads, mask, l_tile, interpret)
-    return out, (q, k, v, mask)
+def _fused_mha_fwd(q, k, v, num_heads, mask, l_tile, interpret,
+                   dropout_rate, dropout_seed):
+    out = _fused_mha_fwd_impl(
+        q, k, v, num_heads, mask, l_tile, interpret, dropout_rate,
+        dropout_seed,
+    )
+    return out, (q, k, v, mask, dropout_seed)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "interpret", "dropout_rate"),
 )
-def _fused_mha_bwd_impl(q, k, v, mask, g, num_heads, interpret):
+def _fused_mha_bwd_impl(q, k, v, mask, g, num_heads, interpret,
+                        dropout_rate=0.0, dropout_seed=None):
     b, l, e = q.shape
     s = k.shape[1]
+    if dropout_rate > 0.0 and interpret:
+        return _dropout_interpret_bwd(
+            q, k, v, mask, g, num_heads, dropout_rate, dropout_seed
+        )
     lt = min(_BWD_L_TILE, _round_up(l, 128))
     l_pad = _round_up(l, lt)
     if l_pad != l:
@@ -253,6 +410,10 @@ def _fused_mha_bwd_impl(q, k, v, mask, g, num_heads, interpret):
     kv_spec = pl.BlockSpec(
         (1, s, e), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
     )
+    mask_spec = pl.BlockSpec(
+        (1, 1, s), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((b, l_pad, e), q.dtype),  # dq
         jax.ShapeDtypeStruct((b, s, e), k.dtype),  # dk
@@ -262,7 +423,33 @@ def _fused_mha_bwd_impl(q, k, v, mask, g, num_heads, interpret):
         pltpu.VMEM((s, e), jnp.float32),  # dk accumulator
         pltpu.VMEM((s, e), jnp.float32),  # dv accumulator
     ]
-    if mask is None:
+    if dropout_rate > 0.0:
+        assert lt == _DROPOUT_L_TILE or l_pad <= _DROPOUT_L_TILE
+        seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+        if mask is None:
+            kern = functools.partial(
+                _mha_bwd_kernel_dropout, heads=num_heads, rate=dropout_rate
+            )
+            dq, dk, dv = pl.pallas_call(
+                kern, out_shape=out_shapes, grid=grid,
+                in_specs=[seed_spec, q_spec, kv_spec, kv_spec, q_spec],
+                out_specs=(q_spec, kv_spec, kv_spec),
+                scratch_shapes=scratch, interpret=interpret,
+            )(seed, q, k, v, g)
+        else:
+            kern = functools.partial(
+                _mha_bwd_kernel_masked_dropout, heads=num_heads,
+                rate=dropout_rate,
+            )
+            dq, dk, dv = pl.pallas_call(
+                kern, out_shape=out_shapes, grid=grid,
+                in_specs=[
+                    seed_spec, mask_spec, q_spec, kv_spec, kv_spec, q_spec
+                ],
+                out_specs=(q_spec, kv_spec, kv_spec),
+                scratch_shapes=scratch, interpret=interpret,
+            )(seed, mask[:, None, :], q, k, v, g)
+    elif mask is None:
         dq, dk, dv = pl.pallas_call(
             functools.partial(_mha_bwd_kernel, heads=num_heads),
             out_shape=out_shapes,
@@ -273,9 +460,6 @@ def _fused_mha_bwd_impl(q, k, v, mask, g, num_heads, interpret):
             interpret=interpret,
         )(q, k, v, g)
     else:
-        mask_spec = pl.BlockSpec(
-            (1, 1, s), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
-        )
         dq, dk, dv = pl.pallas_call(
             functools.partial(_mha_bwd_kernel_masked, heads=num_heads),
             out_shape=out_shapes,
@@ -317,15 +501,20 @@ def _fused_mha_bwd_jnp(q, k, v, mask, g, num_heads):
     return merge(dq), merge(dk), merge(dv)
 
 
-def _fused_mha_bwd(num_heads, l_tile, interpret, residuals, g):
-    q, k, v, mask = residuals
+def _fused_mha_bwd(num_heads, l_tile, interpret, dropout_rate, residuals, g):
+    q, k, v, mask, dropout_seed = residuals
     if k.shape[1] > _MAX_BWD_S:
+        # dropout is never eligible above _MAX_FUSED_S == _MAX_BWD_S, so
+        # the jnp fallback (which cannot reproduce the in-kernel PRNG)
+        # only ever sees rate == 0
+        assert dropout_rate == 0.0
         dq, dk, dv = _fused_mha_bwd_jnp(q, k, v, mask, g, num_heads)
     else:
         dq, dk, dv = _fused_mha_bwd_impl(
-            q, k, v, mask, g, num_heads, interpret
+            q, k, v, mask, g, num_heads, interpret, dropout_rate,
+            dropout_seed,
         )
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
@@ -339,10 +528,13 @@ def fused_cross_attention(
     key_padding_mask: Optional[jax.Array] = None,  # (B, S)
     l_tile: int = 512,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Multi-head attention core — kernel entry used by ops.attention."""
     return fused_mha(
-        q, k, v, num_heads, key_padding_mask, l_tile, interpret
+        q, k, v, num_heads, key_padding_mask, l_tile, interpret,
+        dropout_rate, dropout_seed,
     )
 
 

@@ -37,8 +37,9 @@ _MAX_FUSED_S = 8192
 
 def use_fused_attention(enabled: Optional[bool] = True):
     """Route eligible attention cores through the Pallas kernel
-    (act3d_tpu.kernels.attention).  Eligible = no slot competition, no
-    attention-weight dropout, context within the kernel's VMEM budget.
+    (act3d_tpu.kernels.attention).  Eligible = no slot competition and
+    context within the kernel's VMEM budget; attention-weight dropout is
+    handled IN-KERNEL (TPU PRNG keep mask, regenerated in the backward).
     Pass None to restore the automatic default (TPU on, others off);
     the ACT3D_FUSED_ATTENTION env var (0/1) overrides everything."""
     _FUSED["enabled"] = enabled
@@ -118,13 +119,23 @@ def multi_head_attention(
     if (
         _fused_enabled()
         and not slot_competition
-        and dropout_rate == 0.0
+        and (dropout_rate == 0.0 or dropout_rng is not None)
         and k.shape[1] <= _MAX_FUSED_S
     ):
         from ..kernels.attention import fused_cross_attention
 
+        seed = None
+        if dropout_rate > 0.0:
+            # fold the flax dropout key into the kernel's PRNG seed: the
+            # keep mask is drawn in-kernel (threefry-in-VMEM would cost
+            # ~22 ms/step at training scale, BENCH_NOTES round 1) with
+            # reference semantics (weight dropout, scaled keep)
+            seed = jax.random.randint(
+                dropout_rng, (1,), 0, 2**31 - 1, dtype=jnp.int32
+            )
         out = fused_cross_attention(
-            q, k, v, num_heads, key_padding_mask=key_padding_mask
+            q, k, v, num_heads, key_padding_mask=key_padding_mask,
+            dropout_rate=float(dropout_rate), dropout_seed=seed,
         )
         return _proj(out, params.wo, params.bo)
 

@@ -168,3 +168,100 @@ def test_fused_mha_bwd_multi_ltile(rng):
             np.asarray(a), np.asarray(b_), atol=3e-5, rtol=1e-4,
             err_msg=f"d{name}",
         )
+
+
+# ---------------------------------------------------------------------------
+# In-kernel attention-weight dropout (VERDICT r2 #6).  On CPU the pallas
+# TPU PRNG has no lowering, so interpret mode uses a jnp emulation with
+# the same seeding discipline and dropout math as the kernel body; the
+# real PRNG path is validated on TPU (test_kernels_tpu.py + bench A/B).
+# ---------------------------------------------------------------------------
+
+
+def _dropout_fused(q, k, v, heads, rate, seed, mask=None):
+    return kmod.fused_mha(
+        q, k, v, heads, mask, 512, True, rate, jnp.asarray([seed], jnp.int32)
+    )
+
+
+def test_fused_dropout_keep_fraction_and_scaling(rng):
+    # v = identity (S == E) makes the output exactly the post-dropout
+    # weight matrix: zeros where dropped, p/(1-rate) where kept
+    b, heads, l, s = 2, 2, 48, 64
+    e = s
+    q = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32)) * 0.2
+    rate = 0.3
+
+    # per-head identity values: head h of the output row reproduces the
+    # head-h weights only if v's head slice is identity — use heads=1 for
+    # an exact readout
+    heads = 1
+    v = jnp.broadcast_to(jnp.eye(s, e, dtype=jnp.float32), (b, s, e))
+
+    base = kmod.fused_mha(q, k, v, heads, None, 512, True)  # no dropout = p
+    dropped = _dropout_fused(q, k, v, heads, rate, seed=5)
+
+    p = np.asarray(base)
+    pd = np.asarray(dropped)
+    zeros = pd == 0.0
+    frac = zeros.mean()
+    assert abs(frac - rate) < 0.02, frac  # keep fraction ~ 1-rate
+    nz = ~zeros
+    np.testing.assert_allclose(
+        pd[nz], p[nz] / (1.0 - rate), rtol=1e-5
+    )  # kept weights are scaled
+
+
+def test_fused_dropout_deterministic_per_seed(rng):
+    b, heads, l, s, e = 2, 4, 32, 40, 32
+    q = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32)) * 0.2
+    v = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32))
+    a1 = _dropout_fused(q, k, v, heads, 0.1, seed=3)
+    a2 = _dropout_fused(q, k, v, heads, 0.1, seed=3)
+    a3 = _dropout_fused(q, k, v, heads, 0.1, seed=4)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert not np.array_equal(np.asarray(a1), np.asarray(a3))
+
+
+def test_fused_dropout_grads_consistent_with_forward_mask(rng):
+    """dv must come from the SAME mask the forward used: out is linear in
+    v given the mask, so <dv, v> == <g, out> exactly; dq/dk are checked
+    by directional finite differences (the mask is seed-fixed, so f is
+    differentiable)."""
+    b, heads, l, s, e = 2, 2, 24, 30, 16
+    rate, seed = 0.25, 11
+    q = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32))
+    mask = np.zeros((b, s), bool)
+    mask[0, -5:] = True
+    mask = jnp.asarray(mask)
+    g = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32))
+
+    def f(q, k, v):
+        return _dropout_fused(q, k, v, heads, rate, seed, mask)
+
+    out, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g)
+
+    # linearity identity in v (exact up to fp)
+    lhs = float(jnp.sum(dv * v))
+    rhs = float(jnp.sum(g * out))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+    # directional finite differences for dq and dk
+    for arg, grad, name in ((q, dq, "q"), (k, dk, "k")):
+        u = jnp.asarray(
+            rng.normal(size=arg.shape).astype(np.float32)
+        )
+        eps = 1e-3
+
+        def at(x):
+            args = {"q": (x, k, v), "k": (q, x, v)}[name]
+            return float(jnp.sum(f(*args) * g))
+
+        fd = (at(arg + eps * u) - at(arg - eps * u)) / (2 * eps)
+        an = float(jnp.sum(grad * u))
+        np.testing.assert_allclose(an, fd, rtol=5e-3, err_msg=name)

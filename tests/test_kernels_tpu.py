@@ -1,0 +1,55 @@
+"""Real-hardware checks of the Pallas kernels (auto-skip off-TPU).
+
+The CPU suite exercises the kernels in interpret mode; the in-kernel TPU
+PRNG (attention-weight dropout) has no CPU lowering, so its compiled path
+is validated here.  Run manually on the TPU VM:
+
+    python -m pytest tests/test_kernels_tpu.py -q --no-header -p no:cacheprovider
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a real TPU backend"
+)
+
+
+def test_fused_dropout_on_tpu(rng):
+    from act3d_tpu.kernels import attention as kmod
+
+    b, l, s, e = 2, 256, 320, 64
+    q = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32)) * 0.2
+    rate = 0.3
+    heads = 1
+    v = jnp.broadcast_to(jnp.eye(s, e, dtype=jnp.float32), (b, s, e))
+    seed = jnp.asarray([9], jnp.int32)
+
+    base = np.asarray(kmod.fused_mha(q, k, v, heads))
+    pd = np.asarray(kmod.fused_mha(q, k, v, heads, None, 512, False, rate, seed))
+    # v = I(s, e) reads out the first e columns of the dropped weights
+    zeros = pd == 0.0
+    assert abs(zeros.mean() - rate) < 0.02, zeros.mean()
+    nz = ~zeros
+    np.testing.assert_allclose(pd[nz], base[nz] / (1.0 - rate), rtol=1e-4)
+
+    # determinism per seed on the compiled PRNG
+    pd2 = np.asarray(kmod.fused_mha(q, k, v, heads, None, 512, False, rate, seed))
+    np.testing.assert_array_equal(pd, pd2)
+
+    # backward regenerates the forward's mask: linear-in-v identity
+    g = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32))
+    vr = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32))
+
+    def f(vv):
+        return kmod.fused_mha(q, k, vv, heads, None, 512, False, rate, seed)
+
+    out, vjp = jax.vjp(f, vr)
+    (dv,) = vjp(g)
+    np.testing.assert_allclose(
+        float(jnp.sum(dv * vr)), float(jnp.sum(g * out)), rtol=1e-4
+    )
