@@ -59,7 +59,16 @@ _DROPOUT_L_TILE = 128
 
 
 def _dropout_keep(seed_ref, h, shape, rate):
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1), h)
+    # one folded scalar: this TPU toolchain's prng_set_seed lowering only
+    # takes a single value.  Strides keep (batch, l_tile, head) triples
+    # collision-free at any realistic grid (1000003 > 128 tiles * 7919;
+    # 7919 > 16 heads * 101).
+    pltpu.prng_seed(
+        seed_ref[0]
+        + pl.program_id(0) * 1000003
+        + pl.program_id(1) * 7919
+        + h * 101
+    )
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     # drop with probability `rate`: bits < rate * 2^32
     threshold = jnp.uint32(min(int(rate * 2.0**32), 2**32 - 1))

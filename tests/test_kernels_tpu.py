@@ -31,11 +31,14 @@ def test_fused_dropout_on_tpu(rng):
 
     base = np.asarray(kmod.fused_mha(q, k, v, heads))
     pd = np.asarray(kmod.fused_mha(q, k, v, heads, None, 512, False, rate, seed))
-    # v = I(s, e) reads out the first e columns of the dropped weights
+    # v = I(s, e) reads out the first e columns of the dropped weights.
+    # rtol 1e-2: the TPU's default matmul precision truncates f32 operands
+    # to bf16 passes, and the two paths quantise different values
+    # (p vs p/(1-rate)) through the MXU.
     zeros = pd == 0.0
     assert abs(zeros.mean() - rate) < 0.02, zeros.mean()
     nz = ~zeros
-    np.testing.assert_allclose(pd[nz], base[nz] / (1.0 - rate), rtol=1e-4)
+    np.testing.assert_allclose(pd[nz], base[nz] / (1.0 - rate), rtol=1e-2)
 
     # determinism per seed on the compiled PRNG
     pd2 = np.asarray(kmod.fused_mha(q, k, v, heads, None, 512, False, rate, seed))
@@ -51,5 +54,5 @@ def test_fused_dropout_on_tpu(rng):
     out, vjp = jax.vjp(f, vr)
     (dv,) = vjp(g)
     np.testing.assert_allclose(
-        float(jnp.sum(dv * vr)), float(jnp.sum(g * out)), rtol=1e-4
+        float(jnp.sum(dv * vr)), float(jnp.sum(g * out)), rtol=1e-2
     )
