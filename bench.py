@@ -288,10 +288,13 @@ def bench_e2e(batch, ncam, size, traj_len, compute_dtype, steps=20, chains=3):
             episodes_per_variation=2, n_frames=3, n_cam=ncam,
             image_size=size,
         )
+        from act3d_tpu.data.fixtures import CAMERAS
+
         ds = RLBenchDataset(
             root,
             instructions=make_instructions(tasks, (0,)),
             taskvar=[(t, 0) for t in tasks],
+            cameras=CAMERAS[:ncam],  # fixture tree has ncam cameras
             cache_size=100,
             training=True,
             image_rescale=(0.75, 1.25),
