@@ -33,13 +33,23 @@ _FUSED = {"enabled": None}  # None = auto: on for TPU, off for CPU/GPU
 # Beyond this context length the fused kernel's VMEM budget is at risk;
 # the XLA path takes over (no flagship config comes close).
 _MAX_FUSED_S = 8192
+# Below this many total query rows (B*L) the kernel's fixed costs beat
+# its HBM savings and XLA wins: the r3 bisect of the r2 sampler
+# regression measured the batch-1, L=50 reverse-diffusion loop at
+# 69.7 ms fused vs 62.2 ms XLA (BENCH_NOTES round 3).  Training shapes
+# (B>=16, L>=50) and Act3D eval (L=3333 ghost queries) stay fused.
+_MIN_FUSED_ROWS = 1024
 
 
 def use_fused_attention(enabled: Optional[bool] = True):
     """Route eligible attention cores through the Pallas kernel
-    (act3d_tpu.kernels.attention).  Eligible = no slot competition and
-    context within the kernel's VMEM budget; attention-weight dropout is
-    handled IN-KERNEL (TPU PRNG keep mask, regenerated in the backward).
+    (act3d_tpu.kernels.attention).  Eligible = no slot competition,
+    context within the kernel's VMEM budget, and at least
+    ``_MIN_FUSED_ROWS`` total query rows (small batch-1 eval shapes are
+    faster on XLA — r3 sampler bisect).  Attention-weight dropout has an
+    in-kernel implementation (TPU PRNG keep mask, regenerated in the
+    backward) gated behind ACT3D_FUSED_DROPOUT=1 — measured slower than
+    XLA at the diffusion trainer's shapes, see BENCH_NOTES round 3.
     Pass None to restore the automatic default (TPU on, others off);
     the ACT3D_FUSED_ATTENTION env var (0/1) overrides everything."""
     _FUSED["enabled"] = enabled
@@ -116,11 +126,26 @@ def multi_head_attention(
     if k_pe is not None:
         k = embed_rotary(k, k_pe)
 
+    # In-kernel dropout is implemented and TPU-validated but OFF by
+    # default: measured r3 A/B at the diffusion trainer's shapes (L=50
+    # queries / S<=53 contexts) has the kernel 9% behind XLA (500 vs 547
+    # samples/s — the pinned 128-row tile wastes 60% of each pass and the
+    # per-tile PRNG runs on the VPU), and the one site with a theoretical
+    # HBM win (50x3074 cross) crashes this environment's remote compile
+    # helper inside the full-model module (not reproducible standalone —
+    # see BENCH_NOTES round 3).  ACT3D_FUSED_DROPOUT=1 opts in.
+    dropout_kernel_ok = (
+        dropout_rng is not None
+        and os.environ.get("ACT3D_FUSED_DROPOUT", "0") == "1"
+        and k.shape[1] <= int(os.environ.get("ACT3D_FUSED_DROPOUT_MAX_S",
+                                             str(_MAX_FUSED_S)))
+    )
     if (
         _fused_enabled()
         and not slot_competition
-        and (dropout_rate == 0.0 or dropout_rng is not None)
+        and (dropout_rate == 0.0 or dropout_kernel_ok)
         and k.shape[1] <= _MAX_FUSED_S
+        and B * L >= _MIN_FUSED_ROWS
     ):
         from ..kernels.attention import fused_cross_attention
 

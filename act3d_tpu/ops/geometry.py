@@ -61,8 +61,25 @@ def _gather_tokens_fwd(x, idx):
     return _gather_fwd_impl(x, idx), (idx, x.shape)
 
 
+def _onehot_bwd_enabled(c: int) -> bool:
+    """The Pallas one-hot×MXU adjoint pays off for wide feature rows on
+    TPU (r3 A/B vs the slot-map dense gather, BENCH_NOTES round 3); the
+    tiny C=3 xyz gathers and CPU test runs keep the jnp formulation.
+    ACT3D_ONEHOT_GATHER_BWD=0/1 overrides."""
+    import os
+
+    env = os.environ.get("ACT3D_ONEHOT_GATHER_BWD")
+    if env is not None:
+        return env == "1"
+    return c >= 16 and jax.default_backend() == "tpu"
+
+
 def _gather_tokens_bwd(residuals, g):
     idx, (b, p, c) = residuals
+    if _onehot_bwd_enabled(c):
+        from ..kernels.gather import onehot_scatter_rows
+
+        return onehot_scatter_rows(g, idx, p), None
     k = idx.shape[1]
     # inverse slot map via a cheap int32 scatter: inv[b, idx[b, j]] = j + 1
     inv = jnp.zeros((b, p), jnp.int32)
