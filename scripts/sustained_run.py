@@ -129,7 +129,14 @@ def main():
     print("[3/3] verify")
     records = [json.loads(x) for x in metrics.read_text().splitlines()]
     steps = [r["step"] for r in records]
-    losses = [r["train-loss/total"] for r in records if "train-loss/total" in r]
+    # MetricLogger writes one train-loss/<name> key per loss component;
+    # the trajectory criterion's single component is noise_mse
+    loss_keys = [k for k in records[0] if k.startswith("train-loss/")]
+    assert loss_keys, f"no train-loss/* keys in {sorted(records[0])}"
+    losses = [
+        sum(r[k] for k in loss_keys) for r in records
+        if all(k in r for k in loss_keys)
+    ]
     assert max(steps) >= STEPS - VAL_FREQ, (max(steps), STEPS)
     resumed_first = min(s for s in steps if s > step_at_kill)
     assert resumed_first <= step_at_kill + VAL_FREQ + 1, (
