@@ -72,6 +72,12 @@ class CommonConfig:
     # Ship training batches as uint8 rgb + f16 pcd and decode inside the
     # jitted step (data/compact.py): 2.6x less host->device traffic.
     compact_transfer: int = 0
+    # Run the train-time Resize/Rotate augmentations on the TPU inside the
+    # jitted step (data/device_augment.py) instead of on the host
+    # (reference datasets/utils.py:40-214 runs them in DataLoader
+    # workers): the host pipeline then only decodes and stacks — measured
+    # ~2.5x more host samples/s per core (BENCH_NOTES 'Input pipeline').
+    device_augment: int = 0
     # Resume from <log_dir>/last.msgpack automatically when it exists and
     # no --checkpoint was given — preemption-safe relaunch with the same
     # command line.  Pair with the SIGTERM checkpoint (GracefulShutdown).

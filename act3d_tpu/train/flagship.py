@@ -76,15 +76,22 @@ def _cast_tree(tree, dtype):
     )
 
 
-def diffusion_loss_fn(model: DiffusionPlanner, compute_dtype=None):
+def diffusion_loss_fn(model: DiffusionPlanner, compute_dtype=None,
+                      augment=None):
     """(params, batch, rng) -> (loss, aux) for the Trainer.
 
     compute_dtype=jnp.bfloat16 runs the network in bf16 (halved HBM
     traffic) with f32 master weights and f32 loss.
+    augment: optional jitted ``(batch, rng) -> batch`` (see
+    data/device_augment.make_device_augment) applied on-device inside the
+    step — pair with a dataset built with ``augment_host=False``.
     """
 
     def loss_fn(params, batch, rng):
         batch = expand_batch(batch)  # no-op unless compact-encoded
+        if augment is not None:
+            aug_rng, rng = jax.random.split(rng)
+            batch = augment(batch, aug_rng)
         dropout_rng, noise_rng = jax.random.split(rng)
         loss = model.apply(
             {"params": _cast_tree(params, compute_dtype)},
@@ -127,16 +134,22 @@ def diffusion_metrics_fn(model: DiffusionPlanner):
 
 
 def keypose_loss_fn(
-    model: Act3D, criterion, compute_dtype=None, use_gt_sampling: bool = True
+    model: Act3D, criterion, compute_dtype=None, use_gt_sampling: bool = True,
+    augment=None,
 ):
     """(params, batch, rng) -> (loss, aux dict of sub-losses).
 
     use_gt_sampling biases fine-level ghost sampling with the ground-truth
     position (reference --use_ground_truth_position_for_sampling_train,
-    main_keypose.py:84: 'considerably speeds up training')."""
+    main_keypose.py:84: 'considerably speeds up training').
+    augment: optional on-device ``(batch, rng) -> batch`` (see
+    diffusion_loss_fn)."""
 
     def loss_fn(params, batch, rng):
         batch = expand_batch(batch)  # no-op unless compact-encoded
+        if augment is not None:
+            aug_rng, rng = jax.random.split(rng)
+            batch = augment(batch, aug_rng)
         sample_rng, dropout_rng = jax.random.split(rng)
         out = model.apply(
             {"params": _cast_tree(params, compute_dtype)},

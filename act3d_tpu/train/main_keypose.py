@@ -74,7 +74,10 @@ def main(argv=None):
     )
     train_kwargs = dict(
         root=cfg.dataset, cache_size=cfg.cache_size, training=True,
-        num_iters=cfg.train_iters, **common,
+        num_iters=cfg.train_iters,
+        # with --device_augment the host only decodes and stacks; the
+        # Resize/Rotate run on-device inside the jitted step
+        augment_host=not cfg.device_augment, **common,
     )
     train_ds = RLBenchDataset(**train_kwargs)
     val_ds = RLBenchDataset(
@@ -160,6 +163,16 @@ def main(argv=None):
     import jax.numpy as jnp
 
     compute_dtype = jnp.bfloat16 if cfg.mixed_precision else None
+    augment = None
+    if cfg.device_augment:
+        from ..data.device_augment import make_device_augment
+
+        augment = make_device_augment(
+            image_rescale=cfg.image_rescale_tuple,
+            yaw_range_deg=cfg.point_cloud_rotate_yaw_range,
+            gripper_loc_bounds=bounds,
+            pose_keys=("curr_gripper", "action"),
+        )
     mesh = make_mesh(
         None if cfg.num_devices < 0 else cfg.num_devices, fsdp=cfg.fsdp
     )
@@ -170,6 +183,7 @@ def main(argv=None):
             use_gt_sampling=bool(
                 cfg.use_ground_truth_position_for_sampling_train
             ),
+            augment=augment,
         ),
         variables["params"],
         metrics_fn=metrics_fn,

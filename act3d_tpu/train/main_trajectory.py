@@ -50,7 +50,10 @@ def build_datasets(cfg: TrajectoryConfig, instruction):
     )
     train_kwargs = dict(
         root=cfg.dataset, cache_size=cfg.cache_size, training=True,
-        num_iters=cfg.train_iters, **common,
+        num_iters=cfg.train_iters,
+        # with --device_augment the host only decodes and stacks; the
+        # Resize/Rotate run on-device inside the jitted step
+        augment_host=not cfg.device_augment, **common,
     )
     train = RLBenchDataset(**train_kwargs)
     val = RLBenchDataset(
@@ -142,11 +145,21 @@ def main(argv=None):
     import jax.numpy as jnp
 
     compute_dtype = jnp.bfloat16 if cfg.mixed_precision else None
+    augment = None
+    if cfg.device_augment:
+        from ..data.device_augment import make_device_augment
+
+        augment = make_device_augment(
+            image_rescale=cfg.image_rescale_tuple,
+            yaw_range_deg=cfg.point_cloud_rotate_yaw_range,
+            gripper_loc_bounds=cfg.bounds,
+            pose_keys=("curr_gripper", "action", "trajectory"),
+        )
     mesh = make_mesh(
         None if cfg.num_devices < 0 else cfg.num_devices, fsdp=cfg.fsdp
     )
     trainer = Trainer(
-        diffusion_loss_fn(model, compute_dtype),
+        diffusion_loss_fn(model, compute_dtype, augment=augment),
         variables["params"],
         metrics_fn=diffusion_metrics_fn(model),
         lr=cfg.lr,

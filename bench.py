@@ -28,7 +28,8 @@ import numpy as np
 ASSUMED_A100_SAMPLES_PER_SEC = 80.0
 
 
-def build_diffusion(batch, ncam, size, traj_len, compute_dtype=None):
+def build_diffusion(batch, ncam, size, traj_len, compute_dtype=None,
+                    augment=None):
     from act3d_tpu.train.flagship import diffusion_loss_fn, make_diffusion_model
     from act3d_tpu.utils.testing import synthetic_trajectory_batch
 
@@ -45,7 +46,11 @@ def build_diffusion(batch, ncam, size, traj_len, compute_dtype=None):
         data["pcds"], data["instr"], data["curr_gripper"], data["action"],
         noise_rng=jax.random.PRNGKey(1),
     )
-    return diffusion_loss_fn(model, compute_dtype), variables, data
+    return (
+        diffusion_loss_fn(model, compute_dtype, augment=augment),
+        variables,
+        data,
+    )
 
 
 def build_act3d(batch, ncam, size, compute_dtype=None):
@@ -290,6 +295,11 @@ def bench_e2e(batch, ncam, size, traj_len, compute_dtype, steps=20, chains=3):
         )
         from act3d_tpu.data.fixtures import CAMERAS
 
+        # Default = the framework-recommended pipeline: the host only
+        # decodes and stacks, Resize runs on-device inside the jitted
+        # step (data/device_augment.py; --device_augment in the CLIs).
+        # BENCH_E2E_HOST_AUG=1 measures the reference-style host path.
+        host_aug = os.environ.get("BENCH_E2E_HOST_AUG", "0") == "1"
         ds = RLBenchDataset(
             root,
             instructions=make_instructions(tasks, (0,)),
@@ -298,6 +308,7 @@ def bench_e2e(batch, ncam, size, traj_len, compute_dtype, steps=20, chains=3):
             cache_size=100,
             training=True,
             image_rescale=(0.75, 1.25),
+            augment_host=host_aug,
             return_low_lvl_trajectory=True,
             dense_interpolation=True,
             interpolation_length=traj_len,
@@ -306,8 +317,13 @@ def bench_e2e(batch, ncam, size, traj_len, compute_dtype, steps=20, chains=3):
         )
         ds.sample_batch(batch)  # warm the episode cache
 
+        augment = None
+        if not host_aug:
+            from act3d_tpu.data.device_augment import make_device_augment
+
+            augment = make_device_augment(image_rescale=(0.75, 1.25))
         loss_fn, variables, _ = build_diffusion(
-            batch, ncam, size, traj_len, compute_dtype
+            batch, ncam, size, traj_len, compute_dtype, augment=augment
         )
         mesh = make_mesh(num_devices=1)
         trainer = Trainer(loss_fn, variables["params"], mesh=mesh)
@@ -377,6 +393,15 @@ def main():
     compute_dtype = (
         jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else None
     )
+
+    if kind == "e2e":
+        sps = bench_e2e(batch, ncam, size, traj_len, compute_dtype)
+        print(json.dumps({
+            "metric": "e2e_diffusion_train_samples_per_sec",
+            "value": round(sps, 3), "unit": "samples/sec",
+            "vs_baseline": round(sps / ASSUMED_A100_SAMPLES_PER_SEC, 3),
+        }))
+        return
 
     def bench_train(which, b):
         """Median per-step time of the jitted train step (samples/sec)."""

@@ -60,6 +60,7 @@ def main():
         common += [
             "--fsdp", "2", "--num_workers", "2",
             "--compact_transfer", "1", "--mixed_precision", "1",
+            "--device_augment", "1",
         ]
 
     from act3d_tpu.train import main_keypose, main_trajectory

@@ -108,3 +108,11 @@ def test_round2_flags_parse():
     d = parse_config(KeyposeConfig, [])
     assert d.fsdp == 1 and d.compact_transfer == 0
     assert d.best_checkpoint_metric == "default"
+    assert d.device_augment == 0
+
+
+def test_device_augment_flag_parses():
+    from act3d_tpu.core.config import TrajectoryConfig, parse_config
+
+    cfg = parse_config(TrajectoryConfig, ["--device_augment", "1"])
+    assert cfg.device_augment == 1

@@ -128,6 +128,50 @@ def test_yaw_rotate_rejection_keeps_original(rng):
     np.testing.assert_array_equal(np.asarray(poses["curr_gripper"]), gripper)
 
 
+def test_loss_fn_with_device_augment(rng):
+    """diffusion_loss_fn(augment=...) composes the on-device Resize into
+    the jitted step (the --device_augment CLI path): finite loss, and the
+    augmentation actually perturbs it vs the no-augment path, including
+    through a compact-encoded batch (expand runs first)."""
+    from act3d_tpu.data.compact import compact_batch
+    from act3d_tpu.train.flagship import (
+        diffusion_loss_fn,
+        make_diffusion_model,
+    )
+    from act3d_tpu.utils.testing import synthetic_trajectory_batch
+
+    model = make_diffusion_model(
+        image_size=(128, 128), embedding_dim=24,
+        num_query_cross_attn_layers=1, diffusion_timesteps=5,
+    )
+    data = synthetic_trajectory_batch(
+        batch=2, ncam=1, image_size=(128, 128), traj_len=4
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        data["trajectory"], data["trajectory_mask"], data["rgbs"],
+        data["pcds"], data["instr"], data["curr_gripper"], data["action"],
+        noise_rng=jax.random.PRNGKey(1),
+    )
+    aug = make_device_augment(image_rescale=(0.75, 1.25))
+    key = jax.random.PRNGKey(7)
+    plain = diffusion_loss_fn(model)
+    augged = diffusion_loss_fn(model, augment=aug)
+
+    l_plain = float(jax.jit(lambda p, b: plain(p, b, key)[0])(
+        variables["params"], data))
+    l_aug = float(jax.jit(lambda p, b: augged(p, b, key)[0])(
+        variables["params"], data))
+    l_aug_compact = float(jax.jit(lambda p, b: augged(p, b, key)[0])(
+        variables["params"], compact_batch(dict(data))))
+    assert np.isfinite(l_plain) and np.isfinite(l_aug)
+    assert l_aug != l_plain  # resize visibly perturbs the loss
+    # compact decode happens before augmentation; loss stays finite and
+    # close (uint8 rgb quantisation only)
+    assert np.isfinite(l_aug_compact)
+    np.testing.assert_allclose(l_aug_compact, l_aug, rtol=0.1)
+
+
 def test_make_device_augment_jits(rng):
     batch = {
         "rgbs": jnp.asarray(rng.uniform(0, 1, (2, 2, 3, 16, 16)), jnp.float32),
