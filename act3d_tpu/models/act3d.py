@@ -232,8 +232,10 @@ class Act3D(nn.Module):
                 # scatter-add (the fine-level hotspot — see gather_tokens)
                 idx = jnp.sort(idx, axis=-1)
                 fi = rgb_feats_pyramid[i].reshape(b, -1, dim)
-                context_feats_i = gather_tokens(fi, idx)
-                context_xyz_i = gather_tokens(pcd_pyramid[i], idx)
+                context_feats_i = gather_tokens(fi, idx, sorted_indices=True)
+                context_xyz_i = gather_tokens(
+                    pcd_pyramid[i], idx, sorted_indices=True
+                )
             context_pos_i = rotary_pe_3d(context_xyz_i, dim)
 
             context_feats_i = jnp.concatenate(

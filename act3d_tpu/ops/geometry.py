@@ -22,20 +22,36 @@ __all__ = [
 import functools
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def gather_tokens(x: jax.Array, idx: jax.Array) -> jax.Array:
+def gather_tokens(
+    x: jax.Array, idx: jax.Array, *, sorted_indices: bool = False
+) -> jax.Array:
     """Batched token gather whose backward avoids the wide scatter-add.
 
-    x: (B, P, C); idx: (B, K) int32, unique per row (top-k output; sort is
-    not required but keeps gathers cache-friendly).
+    x: (B, P, C); idx: (B, K) int32, unique per row (top-k output).
+    sorted_indices: caller guarantees idx is ascending per row — the
+    adjoint then contracts a searchsorted 2-block window instead of all K
+    cotangent rows (kernels/gather.py::onehot_scatter_rows_sorted; Act3D
+    sorts its fine-context picks at models/act3d.py:233).
 
     Profiling (BENCH_NOTES.md): the naive VJP — a (B·K, C) scatter-add into
     (B·P, C) — is a kCustom TPU scatter costing ~19 ms/step in Act3D
     (fusion.7917, 21% of the step).  Since the indices are unique, the
-    adjoint is a *permuted expand*, not an accumulation: we scatter only K
-    int32 slot numbers (C× less payload) and turn the wide update into a
-    dense gather, which TPUs do fast.
+    adjoint is a *permuted expand*, not an accumulation: round 1 replaced
+    it with an int32 slot scatter + dense gather; round 3 with a one-hot×
+    MXU Pallas kernel (windowed when sorted_indices).
     """
+    if sorted_indices:
+        return _gather_tokens_sorted(x, idx)
+    return _gather_tokens_any(x, idx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _gather_tokens_any(x: jax.Array, idx: jax.Array) -> jax.Array:
+    return _gather_fwd_impl(x, idx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _gather_tokens_sorted(x: jax.Array, idx: jax.Array) -> jax.Array:
     return _gather_fwd_impl(x, idx)
 
 
@@ -74,12 +90,7 @@ def _onehot_bwd_enabled(c: int) -> bool:
     return c >= 16 and jax.default_backend() == "tpu"
 
 
-def _gather_tokens_bwd(residuals, g):
-    idx, (b, p, c) = residuals
-    if _onehot_bwd_enabled(c):
-        from ..kernels.gather import onehot_scatter_rows
-
-        return onehot_scatter_rows(g, idx, p), None
+def _slot_map_bwd(idx, b, p, g):
     k = idx.shape[1]
     # inverse slot map via a cheap int32 scatter: inv[b, idx[b, j]] = j + 1
     inv = jnp.zeros((b, p), jnp.int32)
@@ -91,11 +102,29 @@ def _gather_tokens_bwd(residuals, g):
     hit = inv > 0
     slot = jnp.maximum(inv - 1, 0)
     rows = jnp.take_along_axis(g, slot[..., None], axis=1)  # dense gather
-    dx = jnp.where(hit[..., None], rows, 0).astype(g.dtype)
-    return dx, None
+    return jnp.where(hit[..., None], rows, 0).astype(g.dtype)
 
 
-gather_tokens.defvjp(_gather_tokens_fwd, _gather_tokens_bwd)
+def _gather_tokens_bwd(residuals, g):
+    idx, (b, p, c) = residuals
+    if _onehot_bwd_enabled(c):
+        from ..kernels.gather import onehot_scatter_rows
+
+        return onehot_scatter_rows(g, idx, p), None
+    return _slot_map_bwd(idx, b, p, g), None
+
+
+def _gather_tokens_sorted_bwd(residuals, g):
+    idx, (b, p, c) = residuals
+    if _onehot_bwd_enabled(c):
+        from ..kernels.gather import onehot_scatter_rows_sorted
+
+        return onehot_scatter_rows_sorted(g, idx, p), None
+    return _slot_map_bwd(idx, b, p, g), None
+
+
+_gather_tokens_any.defvjp(_gather_tokens_fwd, _gather_tokens_bwd)
+_gather_tokens_sorted.defvjp(_gather_tokens_fwd, _gather_tokens_sorted_bwd)
 
 from .rotations import normalise_quat  # re-export, single definition
 

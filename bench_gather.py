@@ -63,17 +63,59 @@ def main():
             np.asarray(want, np.float32), np.asarray(got, np.float32)
         )
 
-        os.environ["ACT3D_ONEHOT_GATHER_BWD"] = "0"
-        t_slot = timeit(jax.jit(lambda x: jnp.sum(
-            jax.grad(f)(x).astype(jnp.float32))), x)
-        os.environ["ACT3D_ONEHOT_GATHER_BWD"] = "1"
-        t_onehot = timeit(jax.jit(lambda x: jnp.sum(
-            jax.grad(f)(x).astype(jnp.float32))), x)
-        print(
-            f"P={p:6d} B={b} K={k} C={c}: "
-            f"slot {t_slot * 1e3:7.2f} ms | onehot {t_onehot * 1e3:7.2f} ms "
-            f"({t_slot / t_onehot:4.2f}x)  [grad fwd+bwd incl. readback]"
+        # windowed (sorted-index) kernel correctness at real shapes
+        fs = lambda x: jnp.sum(
+            jnp.square(geo.gather_tokens(x, idx, sorted_indices=True))
         )
+        got_w = jax.jit(jax.grad(fs))(x)
+        np.testing.assert_array_equal(
+            np.asarray(want, np.float32), np.asarray(got_w, np.float32)
+        )
+
+        if os.environ.get("BENCH_GATHER_ADJOINT_ONLY", "0") != "1":
+            os.environ["ACT3D_ONEHOT_GATHER_BWD"] = "0"
+            t_slot = timeit(jax.jit(lambda x: jnp.sum(
+                jax.grad(f)(x).astype(jnp.float32))), x)
+            os.environ["ACT3D_ONEHOT_GATHER_BWD"] = "1"
+            t_onehot = timeit(jax.jit(lambda x: jnp.sum(
+                jax.grad(f)(x).astype(jnp.float32))), x)
+            t_win = timeit(jax.jit(lambda x: jnp.sum(
+                jax.grad(fs)(x).astype(jnp.float32))), x)
+            print(
+                f"P={p:6d} B={b} K={k} C={c}: "
+                f"slot {t_slot * 1e3:7.2f} ms | onehot {t_onehot * 1e3:7.2f} ms "
+                f"({t_slot / t_onehot:4.2f}x) | windowed {t_win * 1e3:7.2f} ms "
+                f"({t_onehot / t_win:4.2f}x vs onehot)  [grad fwd+bwd incl. readback]"
+            )
+
+        # chunked in-kernel-loop variant, standalone adjoint A/B
+        from act3d_tpu.kernels import gather as gk
+
+        gct = jnp.asarray(rng.normal(size=(b, k, c)), jnp.bfloat16)
+        want_adj = np.asarray(
+            jax.jit(lambda g, i: gk.onehot_scatter_rows_sorted(g, i, p))(
+                gct, idx
+            ), np.float32,
+        )
+        for p_tile, n_chunks in ((256, 4), (512, 4), (256, 8)):
+            got_adj = np.asarray(jax.jit(
+                lambda g, i, pt=p_tile, nc=n_chunks:
+                gk.onehot_scatter_rows_chunked(g, i, p, p_tile=pt, n_chunks=nc)
+            )(gct, idx), np.float32)
+            np.testing.assert_array_equal(want_adj, got_adj)
+            t_chunk = timeit(
+                jax.jit(lambda g, i, pt=p_tile, nc=n_chunks: jnp.sum(
+                    gk.onehot_scatter_rows_chunked(
+                        g, i, p, p_tile=pt, n_chunks=nc
+                    ).astype(jnp.float32))), gct, idx)
+            t_wins = timeit(
+                jax.jit(lambda g, i: jnp.sum(gk.onehot_scatter_rows_sorted(
+                    g, i, p
+                ).astype(jnp.float32))), gct, idx)
+            print(
+                f"    adjoint-only: windowed {t_wins * 1e3:7.2f} ms | "
+                f"chunked(pt={p_tile},nc={n_chunks}) {t_chunk * 1e3:7.2f} ms"
+            )
 
 
 if __name__ == "__main__":

@@ -66,11 +66,12 @@ def main():
     print(f"trace: {paths[-1] if paths else 'MISSING'}")
     for p in paths[-1:]:
         print(f"== top {k} ops (self-time ms/step, {chain}-step scan) ==")
+        # top_ops/top_op_categories return ms totals (utils/xplane.py)
         for name, t in top_ops(p, k):
-            print(f"{t / 1e3 / chain:9.3f} ms  {name[:140]}")
+            print(f"{t / chain:9.3f} ms  {name[:140]}")
         print("== categories ==")
         for name, t in top_op_categories(p, 15):
-            print(f"{t / 1e3 / chain:9.3f} ms  {name[:80]}")
+            print(f"{t / chain:9.3f} ms  {name[:80]}")
 
 
 if __name__ == "__main__":

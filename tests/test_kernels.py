@@ -68,6 +68,115 @@ def test_onehot_scatter_rows_matches_jnp_adjoint(rng, p, k, c, p_tile):
     np.testing.assert_allclose(np.asarray(got), want, atol=0)
 
 
+@pytest.mark.parametrize("pattern", ["uniform", "clustered", "edges"])
+def test_onehot_scatter_rows_sorted_matches_scatter(rng, pattern):
+    """The windowed (sorted-index) adjoint equals an explicit scatter for
+    uniform, spatially-clustered (the Act3D case: top-k *nearest* indices
+    concentrate), and K-edge-hugging index layouts.  P/K/p_tile chosen so
+    K has several j-blocks and the searchsorted windows actually move."""
+    from act3d_tpu.kernels.gather import onehot_scatter_rows_sorted
+
+    b, p, k, c, p_tile = 2, 1024, 256, 12, 64
+    g = jnp.asarray(rng.normal(size=(b, k, c)).astype(np.float32))
+    if pattern == "uniform":
+        idx = np.stack([np.sort(rng.permutation(p)[:k]) for _ in range(b)])
+    elif pattern == "clustered":
+        # all picks inside two tight spans — many tiles empty, two dense
+        lo = np.sort(rng.permutation(160)[:128])
+        hi = np.sort(rng.permutation(160)[:128]) + p - 160
+        idx = np.stack([np.concatenate([lo, hi]) for _ in range(b)])
+    else:  # edges: first and last possible positions
+        idx = np.stack(
+            [np.concatenate([np.arange(k // 2), p - k + k // 2 + np.arange(k - k // 2)])
+             for _ in range(b)]
+        )
+    idx = idx.astype(np.int32)
+    want = np.zeros((b, p, c), np.float32)
+    for bi in range(b):
+        want[bi, idx[bi]] = np.asarray(g[bi])
+    got = onehot_scatter_rows_sorted(
+        g, jnp.asarray(idx), p, p_tile=p_tile, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=0)
+
+
+@pytest.mark.parametrize("pattern", ["uniform", "clustered", "edges"])
+def test_onehot_scatter_rows_chunked_matches_scatter(rng, pattern):
+    """The chunked (in-kernel tile loop) sorted adjoint equals an explicit
+    scatter for the same adversarial index layouts."""
+    from act3d_tpu.kernels.gather import onehot_scatter_rows_chunked
+
+    b, p, k, c, p_tile = 2, 2048, 256, 12, 128
+    g = jnp.asarray(rng.normal(size=(b, k, c)).astype(np.float32))
+    if pattern == "uniform":
+        idx = np.stack([np.sort(rng.permutation(p)[:k]) for _ in range(b)])
+    elif pattern == "clustered":
+        lo = np.sort(rng.permutation(160)[:128])
+        hi = np.sort(rng.permutation(160)[:128]) + p - 160
+        idx = np.stack([np.concatenate([lo, hi]) for _ in range(b)])
+    else:
+        idx = np.stack(
+            [np.concatenate([np.arange(k // 2),
+                             p - k + k // 2 + np.arange(k - k // 2)])
+             for _ in range(b)]
+        )
+    idx = idx.astype(np.int32)
+    want = np.zeros((b, p, c), np.float32)
+    for bi in range(b):
+        want[bi, idx[bi]] = np.asarray(g[bi])
+    got = onehot_scatter_rows_chunked(
+        g, jnp.asarray(idx), p, p_tile=p_tile, n_chunks=4, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=0)
+
+
+def test_onehot_scatter_rows_sorted_fallback_small_k(rng):
+    """K below two j-blocks falls back to the full-K kernel."""
+    from act3d_tpu.kernels.gather import onehot_scatter_rows_sorted
+
+    b, p, k, c, p_tile = 2, 300, 40, 8, 128
+    g = jnp.asarray(rng.normal(size=(b, k, c)).astype(np.float32))
+    idx = np.stack(
+        [np.sort(rng.permutation(p)[:k]).astype(np.int32) for _ in range(b)]
+    )
+    want = np.zeros((b, p, c), np.float32)
+    for bi in range(b):
+        want[bi, idx[bi]] = np.asarray(g[bi])
+    got = onehot_scatter_rows_sorted(
+        g, jnp.asarray(idx), p, p_tile=p_tile, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=0)
+
+
+def test_gather_tokens_sorted_grad_matches_default(rng, monkeypatch):
+    """gather_tokens(sorted_indices=True) has an identical VJP through the
+    windowed kernel and the slot-map path."""
+    from act3d_tpu.ops import geometry as geo
+
+    b, p, c, k = 2, 512, 24, 128
+    x = jnp.asarray(rng.normal(size=(b, p, c)).astype(np.float32))
+    idx = jnp.asarray(
+        np.stack([np.sort(rng.permutation(p)[:k]).astype(np.int32)
+                  for _ in range(b)])
+    )
+    f = lambda x: jnp.sum(
+        jnp.sin(geo.gather_tokens(x, idx, sorted_indices=True))
+    )
+
+    monkeypatch.setenv("ACT3D_ONEHOT_GATHER_BWD", "0")
+    want = jax.grad(f)(x)
+    import act3d_tpu.kernels.gather as gmod
+
+    orig = gmod.onehot_scatter_rows_sorted
+    monkeypatch.setattr(
+        gmod, "onehot_scatter_rows_sorted",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True, "p_tile": 64}),
+    )
+    monkeypatch.setenv("ACT3D_ONEHOT_GATHER_BWD", "1")
+    got = jax.grad(f)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+
+
 def test_gather_tokens_grad_onehot_path_matches_default(rng, monkeypatch):
     """gather_tokens' VJP is identical through both backward formulations."""
     from act3d_tpu.ops import geometry as geo
