@@ -3,10 +3,12 @@
 TPU-native alternative to the host-side ``data.augment`` transforms
 (reference: datasets/utils.py:40-181 runs them in DataLoader workers).
 On a host-bound input pipeline the resize/crop and yaw-rotate are pure
-memory traffic — moving them into the jitted training step makes them
-effectively free (they fuse ahead of the backbone's first conv) and cuts
-host batch assembly to decode + memcpy.  ``bench_data.py`` quantifies the
-host-side savings.
+memory traffic — moving them into the jitted training step cuts host
+batch assembly to decode + memcpy at the price of ~10 ms/step of device
+gathers at the flagship diffusion scale (544 → 444 samples/s in-jit,
+BENCH_NOTES round 3): the right trade whenever the host, not the chip,
+bounds e2e throughput.  ``bench_data.py`` quantifies the host-side
+savings.
 
 Semantics match the host transforms *exactly* for the same draws
 (tests/test_device_augment.py):
@@ -48,6 +50,19 @@ def _axis_src_index(out_len: int, new: jax.Array, crop: jax.Array) -> jax.Array:
     return jnp.clip((p * out_len) // new, 0, out_len - 1)
 
 
+def _take_rows(a: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather along the second-minor axis: each picked element is a full
+    contiguous minor-axis row, which XLA lowers to slice-granularity
+    copies.  (A minor-axis ``jnp.take`` lowers to scalar-granularity
+    gathers on TPU — measured ~0.6 s/batch inside the e2e train step,
+    BENCH_NOTES round 3.)"""
+    shaped = idx.reshape((1,) * (a.ndim - 2) + (-1, 1))
+    return jnp.take_along_axis(
+        a, jnp.broadcast_to(shaped, a.shape[:-2] + (idx.shape[0], 1)),
+        axis=-2,
+    )
+
+
 def resize_with_params(
     arrays: Dict[str, jax.Array],
     scale: jax.Array,
@@ -55,17 +70,32 @@ def resize_with_params(
     crop_j: jax.Array,
 ) -> Dict[str, jax.Array]:
     """Deterministic core of :func:`resize_sample` (exposed for parity
-    tests against the host ``augment.Resize`` with identical draws)."""
+    tests against the host ``augment.Resize`` with identical draws).
+
+    Both axes are gathered as contiguous rows — the W axis through a
+    transpose pair — so the whole resize is slice copies + relayouts
+    instead of per-element gathers; bitwise-identical output."""
+    import os
+
     first = next(iter(arrays.values()))
     h, w = first.shape[-2:]
     new_h = jnp.floor(h * scale).astype(jnp.int32)
     new_w = jnp.floor(w * scale).astype(jnp.int32)
     rows = _axis_src_index(h, new_h, crop_i)
     cols = _axis_src_index(w, new_w, crop_j)
-    return {
-        n: jnp.take(jnp.take(a, rows, axis=-2), cols, axis=-1)
-        for n, a in arrays.items()
-    }
+    # r3 A/B at the diffusion trainer's shapes (in-jit scan, b22):
+    # take-based 444.2 samples/s vs row-slice 435.5 — XLA already lowers
+    # the per-axis takes well; the row-slice variant stays for A/B.
+    impl = os.environ.get("ACT3D_RESIZE_IMPL", "take")
+    out = {}
+    for n, a in arrays.items():
+        if impl == "take":
+            out[n] = jnp.take(jnp.take(a, rows, axis=-2), cols, axis=-1)
+        else:
+            x = _take_rows(a, rows)
+            x = _take_rows(x.swapaxes(-1, -2), cols).swapaxes(-1, -2)
+            out[n] = x
+    return out
 
 
 def resize_sample(

@@ -258,7 +258,8 @@ def bench_chained_eval(ncam, size, traj_len, steps):
     )
 
 
-def bench_e2e(batch, ncam, size, traj_len, compute_dtype, steps=20, chains=3):
+def bench_e2e(batch, ncam, size, traj_len, compute_dtype, steps=20, chains=3,
+              host_aug=None):
     """End-to-end training throughput with FRESH batches through the real
     host pipeline: RLBenchDataset (warm cache) -> compact uint8/f16
     encoding -> async DeviceFeeder -> jitted train step (VERDICT r2 #5:
@@ -295,11 +296,14 @@ def bench_e2e(batch, ncam, size, traj_len, compute_dtype, steps=20, chains=3):
         )
         from act3d_tpu.data.fixtures import CAMERAS
 
-        # Default = the framework-recommended pipeline: the host only
-        # decodes and stacks, Resize runs on-device inside the jitted
-        # step (data/device_augment.py; --device_augment in the CLIs).
-        # BENCH_E2E_HOST_AUG=1 measures the reference-style host path.
-        host_aug = os.environ.get("BENCH_E2E_HOST_AUG", "0") == "1"
+        # Default = host-side Resize (reference-style): the same-process
+        # r3 A/B measured it faster e2e on this 1-core VM (23.2 vs 17.4
+        # samples/s) — the async DeviceFeeder already overlaps the host
+        # Resize with device compute, while --device_augment's in-jit
+        # gathers cost ~10 ms/step of chip time (BENCH_NOTES round 3).
+        # BENCH_E2E_HOST_AUG=0 measures the device-augment path.
+        if host_aug is None:
+            host_aug = os.environ.get("BENCH_E2E_HOST_AUG", "1") == "1"
         ds = RLBenchDataset(
             root,
             instructions=make_instructions(tasks, (0,)),
@@ -403,13 +407,40 @@ def main():
         }))
         return
 
+    if kind == "e2e_ab":
+        # same-process A/B of the two e2e pipelines — the tunneled chip's
+        # session-to-session drift swamps cross-process comparisons
+        # (BENCH_NOTES round 3: 18.4 vs 38.2 vs 14.0 across three hours)
+        host = bench_e2e(batch, ncam, size, traj_len, compute_dtype,
+                         host_aug=True)
+        dev = bench_e2e(batch, ncam, size, traj_len, compute_dtype,
+                        host_aug=False)
+        print(json.dumps({
+            "metric": "e2e_diffusion_train_samples_per_sec_ab",
+            "value": round(max(host, dev), 3), "unit": "samples/sec",
+            "vs_baseline": round(
+                max(host, dev) / ASSUMED_A100_SAMPLES_PER_SEC, 3
+            ),
+            "host_augment": round(host, 3),
+            "device_augment": round(dev, 3),
+        }))
+        return
+
     def bench_train(which, b):
         """Median per-step time of the jitted train step (samples/sec)."""
+        # BENCH_DEVICE_AUGMENT=1 folds the in-jit augmentation into the
+        # scanned diffusion step — isolates the device cost of
+        # data/device_augment.py from the host/wire-bound e2e number.
+        augment = None
+        if which != "act3d" and os.environ.get("BENCH_DEVICE_AUGMENT") == "1":
+            from act3d_tpu.data.device_augment import make_device_augment
+
+            augment = make_device_augment(image_rescale=(0.75, 1.25))
         if which == "act3d":
             loss_fn, variables, data = build_act3d(b, ncam, size, compute_dtype)
         else:
             loss_fn, variables, data = build_diffusion(
-                b, ncam, size, traj_len, compute_dtype
+                b, ncam, size, traj_len, compute_dtype, augment=augment
             )
         mesh = make_mesh(num_devices=1)
         trainer = Trainer(loss_fn, variables["params"], mesh=mesh)
