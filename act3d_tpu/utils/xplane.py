@@ -18,7 +18,7 @@ import struct
 from collections import defaultdict
 from typing import Dict, Iterator, List, Tuple
 
-__all__ = ["parse_message", "op_self_times", "top_ops"]
+__all__ = ["parse_message", "op_self_times", "top_ops", "op_sources"]
 
 
 def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
@@ -89,6 +89,48 @@ def op_self_times(xplane_path: str, plane_filter: str = "TPU") -> Dict[str, floa
                 dur = ev.get(3, [0])[0]
                 totals[meta_names.get(mid, f"op_{mid}")] += dur
     return dict(totals)
+
+
+def op_sources(xplane_path: str, plane_filter: str = "TPU") -> Dict[str, str]:
+    """Map op name -> jax attribution ``tf_op path @ source:line``.
+
+    Each XEventMetadata carries XStats (field 5); the plane's
+    stat_metadata (field 5) names them — ``tf_op`` holds the
+    ``jit(fn)/.../submodule/op`` path and ``source`` the python
+    ``file:line``.  This is how anonymous ``fusion.N`` / ``copy.N``
+    entries from :func:`top_ops` are attributed.
+    """
+    space = parse_message(open(xplane_path, "rb").read())
+    sources: Dict[str, str] = {}
+    for plane_buf in space.get(1, []):
+        plane = parse_message(plane_buf)
+        name = (plane.get(2, [b""])[0]).decode(errors="replace")
+        if plane_filter and plane_filter.lower() not in name.lower():
+            continue
+        stat_ids: Dict[str, int] = {}
+        for entry_buf in plane.get(5, []):
+            entry = parse_message(entry_buf)
+            smd = parse_message(entry.get(2, [b""])[0])
+            sname = smd.get(2, [b""])[0].decode(errors="replace")
+            stat_ids[sname] = entry.get(1, [0])[0]
+        tf_op_id = stat_ids.get("tf_op")
+        source_id = stat_ids.get("source")
+        for entry_buf in plane.get(4, []):
+            entry = parse_message(entry_buf)
+            md = parse_message(entry.get(2, [b""])[0])
+            short = md.get(4, [b""])[0].decode(errors="replace")
+            path = src = ""
+            for stat_buf in md.get(5, []):
+                stat = parse_message(stat_buf)
+                sid = stat.get(1, [0])[0]
+                sval = stat.get(5, [b""])[0]
+                if sid == tf_op_id:
+                    path = sval.decode(errors="replace")
+                elif sid == source_id:
+                    src = sval.decode(errors="replace")
+            if short and (path or src):
+                sources[short] = f"{path} @ {src}" if src else path
+    return sources
 
 
 def top_op_categories(xplane_path: str, k: int = 15, plane_filter: str = "TPU"):

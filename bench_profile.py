@@ -65,10 +65,16 @@ def main():
     paths = sorted(glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))
     print(f"trace: {paths[-1] if paths else 'MISSING'}")
     for p in paths[-1:]:
+        from act3d_tpu.utils.xplane import op_sources
+
+        src = op_sources(p)
         print(f"== top {k} ops (self-time ms/step, {chain}-step scan) ==")
         # top_ops/top_op_categories return ms totals (utils/xplane.py)
         for name, t in top_ops(p, k):
-            print(f"{t / chain:9.3f} ms  {name[:140]}")
+            where = src.get(name, "")
+            # keep the informative tail of the op_name path
+            where = "/".join(where.split("/")[-3:])[:90]
+            print(f"{t / chain:9.3f} ms  {name[:60]:60s} {where}")
         print("== categories ==")
         for name, t in top_op_categories(p, 15):
             print(f"{t / chain:9.3f} ms  {name[:80]}")
