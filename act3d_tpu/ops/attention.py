@@ -39,6 +39,15 @@ _MAX_FUSED_S = 8192
 # 69.7 ms fused vs 62.2 ms XLA (BENCH_NOTES round 3).  Training shapes
 # (B>=16, L>=50) and Act3D eval (L=3333 ghost queries) stay fused.
 _MIN_FUSED_ROWS = 1024
+# Below this context length the kernel has little HBM traffic to save
+# while its fixed costs stay (S lane-padded to 128, per-L-tile VPU
+# softmax passes): the r3 act3d profile attributes 13.2 ms/step to the
+# six fused S=53 instruction cross-attentions (6 x 1.49 bwd + 0.71 fwd,
+# BENCH_NOTES), and the diffusion trainer's S<=53 sites already measured
+# faster on XLA (547 vs 500).  The full-step A/B of this floor is
+# pending chip availability (backend down at measurement time) —
+# ACT3D_FUSED_MIN_S overrides (0 restores the r3-measured routing).
+_MIN_FUSED_S = int(os.environ.get("ACT3D_FUSED_MIN_S", "128"))
 
 
 def use_fused_attention(enabled: Optional[bool] = True):
@@ -144,7 +153,7 @@ def multi_head_attention(
         _fused_enabled()
         and not slot_competition
         and (dropout_rate == 0.0 or dropout_kernel_ok)
-        and k.shape[1] <= _MAX_FUSED_S
+        and _MIN_FUSED_S <= k.shape[1] <= _MAX_FUSED_S
         and B * L >= _MIN_FUSED_ROWS
     ):
         from ..kernels.attention import fused_cross_attention

@@ -229,16 +229,59 @@ def test_fused_multi_head_wrapper_matches_jnp_path(rng):
         *a, **{**k, "interpret": True}
     )
     min_rows = attn_mod._MIN_FUSED_ROWS
+    min_s = attn_mod._MIN_FUSED_S
     try:
         attn_mod.use_fused_attention(True)
-        # the production row floor (B*L >= 1024) would route this small
-        # test shape to XLA; drop it so the kernel path is what we test
+        # the production routing floors (B*L >= 1024, S >= 128) would
+        # route this small test shape to XLA; drop them so the kernel
+        # path is what we test
         attn_mod._MIN_FUSED_ROWS = 0
+        attn_mod._MIN_FUSED_S = 0
         got = multi_head_attention(params, q, kv, kv, H)
     finally:
         attn_mod.use_fused_attention(False)
         attn_mod._MIN_FUSED_ROWS = min_rows
+        attn_mod._MIN_FUSED_S = min_s
         kmod.fused_cross_attention = orig
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
     )
+
+
+@pytest.mark.parametrize(
+    "b,l,s,expect_fused",
+    [
+        (32, 333, 3127, True),   # act3d ghost cross-attn: fused
+        (32, 3073, 53, False),   # act3d instruction cross: small S -> XLA
+        (1, 50, 3074, False),    # batch-1 sampler step: row floor -> XLA
+        (22, 50, 3074, True),    # diffusion train cross (no dropout): fused
+    ],
+)
+def test_fused_attention_routing_floors(rng, b, l, s, expect_fused):
+    """The eligibility floors route production shapes as measured in
+    BENCH_NOTES round 3 (rows >= 1024, 128 <= S <= 8192)."""
+    from act3d_tpu.ops.attention import AttentionParams, multi_head_attention
+    from act3d_tpu.ops import attention as attn_mod
+    import act3d_tpu.kernels.attention as kmod
+
+    E, H = 12, 4
+    mk = lambda *shape: rng.normal(size=shape).astype(np.float32) * 0.1
+    params = AttentionParams(
+        wq=jnp.asarray(mk(E, E)), wk=jnp.asarray(mk(E, E)),
+        wv=jnp.asarray(mk(E, E)), wo=jnp.asarray(mk(E, E)),
+    )
+    q = jnp.asarray(mk(b, l, E))
+    kv = jnp.asarray(mk(b, s, E))
+
+    calls = []
+    orig = kmod.fused_cross_attention
+    kmod.fused_cross_attention = (
+        lambda q, k, v, h, **kw: calls.append(1) or jnp.zeros_like(q)
+    )
+    try:
+        attn_mod.use_fused_attention(True)
+        multi_head_attention(params, q, kv, kv, H)
+    finally:
+        attn_mod.use_fused_attention(False)
+        kmod.fused_cross_attention = orig
+    assert bool(calls) == expect_fused
