@@ -44,9 +44,9 @@ _MIN_FUSED_ROWS = 1024
 # softmax passes): the r3 act3d profile attributes 13.2 ms/step to the
 # six fused S=53 instruction cross-attentions (6 x 1.49 bwd + 0.71 fwd,
 # BENCH_NOTES), and the diffusion trainer's S<=53 sites already measured
-# faster on XLA (547 vs 500).  The full-step A/B of this floor is
-# pending chip availability (backend down at measurement time) —
-# ACT3D_FUSED_MIN_S overrides (0 restores the r3-measured routing).
+# faster on XLA (547 vs 500).  Full-step A/B (BENCH_NOTES "Small-S
+# routing floor"): act3d 375.8 -> 409.1 samples/s with the floor on.
+# ACT3D_FUSED_MIN_S overrides (0 restores the pre-floor routing).
 _MIN_FUSED_S = int(os.environ.get("ACT3D_FUSED_MIN_S", "128"))
 
 
