@@ -138,6 +138,10 @@ class KeyposeConfig(CommonConfig):
     num_query_cross_attn_layers: int = 2
     num_vis_ins_attn_layers: int = 2
     rotation_parametrization: str = "quat_from_query"
+    # TPU extension (no reference counterpart): fine-context selection via
+    # lax.approx_max_k (recall ~0.95) instead of exact top-k.  Off by
+    # default = exact reference semantics.
+    approx_topk: int = 0
 
 
 @dataclasses.dataclass

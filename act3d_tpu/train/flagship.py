@@ -51,6 +51,7 @@ def make_keypose_model(
     num_ghost_points_val: int = 10000,
     num_sampling_level: int = 3,
     use_instruction: bool = True,
+    approx_topk: bool = False,
 ) -> Act3D:
     return Act3D(
         image_size=image_size,
@@ -63,6 +64,7 @@ def make_keypose_model(
         weight_tying=True,
         gp_emb_tying=True,
         use_instruction=use_instruction,
+        approx_topk=approx_topk,
     )
 
 

@@ -115,6 +115,7 @@ def main(argv=None):
         fine_sampling_ball_diameter=cfg.fine_sampling_ball_diameter,
         regress_position_offset=bool(cfg.regress_position_offset),
         use_instruction=bool(cfg.use_instruction),
+        approx_topk=bool(cfg.approx_topk),
     )
     criterion = KeyposeLossAndMetrics(
         position_loss=cfg.position_loss,

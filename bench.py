@@ -64,7 +64,13 @@ def build_act3d(batch, ncam, size, compute_dtype=None):
     # different model config, not reference-parity — offered as the
     # TPU-recommended configuration.
     emb = int(os.environ.get("BENCH_EMB_ACT3D", "60"))
-    model = make_keypose_model(image_size=(size, size), embedding_dim=emb)
+    # BENCH_APPROX_TOPK=1 swaps the fine-context lax.top_k for TPU
+    # approx_max_k (recall ~0.95 over a soft attention context) — a
+    # measured-optional config, not reference parity (see BENCH_NOTES).
+    model = make_keypose_model(
+        image_size=(size, size), embedding_dim=emb,
+        approx_topk=os.environ.get("BENCH_APPROX_TOPK", "0") == "1",
+    )
     data = synthetic_keypose_batch(batch=batch, ncam=ncam, image_size=(size, size))
     variables = model.init(
         jax.random.PRNGKey(0),
