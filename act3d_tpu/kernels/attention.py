@@ -136,33 +136,44 @@ def _dropout_interpret_bwd(q, k, v, mask, g, num_heads, rate, seed):
 
 
 # ---------------------------------------------------------------- fwd kernel
-def _mha_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int):
-    _mha_fwd_body(None, None, q_ref, k_ref, v_ref, o_ref, heads=heads,
-                  rate=0.0)
+def _mha_fwd_kernel(q_ref, k_ref, v_ref, o_ref, stats_ref, *, heads: int):
+    _mha_fwd_body(None, None, q_ref, k_ref, v_ref, o_ref, stats_ref,
+                  heads=heads, rate=0.0)
 
 
-def _mha_fwd_kernel_masked(mask_ref, q_ref, k_ref, v_ref, o_ref, *, heads: int):
-    _mha_fwd_body(mask_ref, None, q_ref, k_ref, v_ref, o_ref, heads=heads,
-                  rate=0.0)
+def _mha_fwd_kernel_masked(mask_ref, q_ref, k_ref, v_ref, o_ref, stats_ref,
+                           *, heads: int):
+    _mha_fwd_body(mask_ref, None, q_ref, k_ref, v_ref, o_ref, stats_ref,
+                  heads=heads, rate=0.0)
 
 
-def _mha_fwd_kernel_dropout(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
-                            heads: int, rate: float):
-    _mha_fwd_body(None, seed_ref, q_ref, k_ref, v_ref, o_ref, heads=heads,
-                  rate=rate)
+def _mha_fwd_kernel_dropout(seed_ref, q_ref, k_ref, v_ref, o_ref, stats_ref,
+                            *, heads: int, rate: float):
+    _mha_fwd_body(None, seed_ref, q_ref, k_ref, v_ref, o_ref, stats_ref,
+                  heads=heads, rate=rate)
 
 
 def _mha_fwd_kernel_masked_dropout(seed_ref, mask_ref, q_ref, k_ref, v_ref,
-                                   o_ref, *, heads: int, rate: float):
-    _mha_fwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, heads=heads,
-                  rate=rate)
+                                   o_ref, stats_ref, *, heads: int,
+                                   rate: float):
+    _mha_fwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, stats_ref,
+                  heads=heads, rate=rate)
 
 
-def _mha_fwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, *,
-                  heads: int, rate: float):
+def _mha_fwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, stats_ref,
+                  *, heads: int, rate: float):
+    """Softmax attention forward for one (batch, L-tile) block.
+
+    Flash-style: the row max ``m`` and exp-sum ``l`` are written to
+    ``stats_ref`` (layout (1, Lt, 2·heads), f32) so the backward never
+    re-reduces the (Lt, S) score matrix.  The 1/l normalisation is
+    applied to the (Lt, d) output instead of the (Lt, S) probabilities —
+    one VPU pass on the small operand replaces one on the big one.
+    """
     e = q_ref.shape[-1]
     d = e // heads
     neg = jnp.float32(-1e30)
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         q = q_ref[0][:, sl]
@@ -174,63 +185,88 @@ def _mha_fwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, *,
         )  # (Lt, S)
         if mask_ref is not None:
             s = jnp.where(mask_ref[0], neg, s)
-        p = jax.nn.softmax(s, axis=-1)
+        m = jnp.max(s, axis=-1, keepdims=True)  # (Lt, 1)
+        ex = jnp.exp(s - m)  # (Lt, S)
+        lsum = jnp.sum(ex, axis=-1, keepdims=True)  # (Lt, 1)
         if rate > 0.0:
-            p = _apply_dropout(p, _dropout_keep(seed_ref, h, p.shape, rate),
-                               rate)
+            keep = _dropout_keep(seed_ref, h, ex.shape, rate)
+            ex = jnp.where(keep, ex, 0.0)
         o = jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            ex.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
+        o = o * (inv_keep / lsum)  # (Lt, d) row-scale
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
+        stats_ref[0, :, 2 * h:2 * h + 1] = m
+        stats_ref[0, :, 2 * h + 1:2 * h + 2] = lsum
 
 
 # ---------------------------------------------------------------- bwd kernel
 def _mha_bwd_kernel(
-    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
-    heads: int,
+    q_ref, k_ref, v_ref, do_ref, stats_ref, delta_ref, dq_ref, dk_ref,
+    dv_ref, dk_acc, dv_acc, *, heads: int,
 ):
-    _mha_bwd_body(None, None, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
-                  dv_ref, dk_acc, dv_acc, heads=heads, rate=0.0)
+    _mha_bwd_body(None, None, q_ref, k_ref, v_ref, do_ref, stats_ref,
+                  delta_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                  heads=heads, rate=0.0)
 
 
 def _mha_bwd_kernel_masked(
-    mask_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, dk_acc,
-    dv_acc, *, heads: int,
+    mask_ref, q_ref, k_ref, v_ref, do_ref, stats_ref, delta_ref, dq_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc, *, heads: int,
 ):
-    _mha_bwd_body(mask_ref, None, q_ref, k_ref, v_ref, do_ref, dq_ref,
-                  dk_ref, dv_ref, dk_acc, dv_acc, heads=heads, rate=0.0)
+    _mha_bwd_body(mask_ref, None, q_ref, k_ref, v_ref, do_ref, stats_ref,
+                  delta_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                  heads=heads, rate=0.0)
 
 
 def _mha_bwd_kernel_dropout(
-    seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, dk_acc,
-    dv_acc, *, heads: int, rate: float,
+    seed_ref, q_ref, k_ref, v_ref, do_ref, stats_ref, delta_ref, dq_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc, *, heads: int, rate: float,
 ):
-    _mha_bwd_body(None, seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
-                  dk_ref, dv_ref, dk_acc, dv_acc, heads=heads, rate=rate)
+    _mha_bwd_body(None, seed_ref, q_ref, k_ref, v_ref, do_ref, stats_ref,
+                  delta_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                  heads=heads, rate=rate)
 
 
 def _mha_bwd_kernel_masked_dropout(
-    seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-    dk_acc, dv_acc, *, heads: int, rate: float,
+    seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref, stats_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, heads: int, rate: float,
 ):
-    _mha_bwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
-                  dk_ref, dv_ref, dk_acc, dv_acc, heads=heads, rate=rate)
+    _mha_bwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, stats_ref,
+                  delta_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                  heads=heads, rate=rate)
 
 
-def _mha_bwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
-                  dk_ref, dv_ref, dk_acc, dv_acc, *, heads: int, rate: float):
-    """One (batch, L-tile) backward step.
+def _mha_bwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, stats_ref,
+                  delta_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                  heads: int, rate: float):
+    """One (batch, L-tile) backward step — flash-style with saved stats.
 
     The grid walks L-tiles innermost; dk/dv accumulate in f32 VMEM scratch
     across the tiles of one batch row and flush to HBM on the last tile —
-    nothing of size (L, S) ever leaves VMEM.  With dropout, the keep mask
-    is regenerated from the same (seed, batch, l_tile, head) PRNG stream
-    as the forward (flash-style recompute, mask included).
+    nothing of size (L, S) ever leaves VMEM.
+
+    VPU economy (the kernel is VPU-bound at small head dims — the act3d
+    trace attributed ~20 ms/step to this backward before the rework):
+
+      * the forward's row stats (m, l) arrive via ``stats_ref`` — no
+        (Lt, S) max/sum re-reductions, only the exp recompute;
+      * ``delta_ref`` carries rowsum(dO ⊙ O) computed in XLA on the
+        (Lt, d) output — the classic flash-bwd identity
+        Σ_s dP_s·P_s = Σ_d dO_d·O_d — replacing a (Lt, S) product + a
+        reduction with nothing in-kernel;
+      * the 1/l softmax normalisation is folded into the (Lt, d)
+        operands (dO rows for dV, q rows for dK, dQ rows post-matmul),
+        never touching an (Lt, S) temporary.
+
+    With dropout, the keep mask is regenerated from the same
+    (seed, batch, l_tile, head) PRNG stream as the forward.
     """
     e = q_ref.shape[-1]
     d = e // heads
     i = pl.program_id(1)
     n = pl.num_programs(1)
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
 
     @pl.when(i == 0)
     def _init():
@@ -243,38 +279,45 @@ def _mha_bwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref,
         k = k_ref[0][:, sl]
         v = v_ref[0][:, sl]
         do = do_ref[0][:, sl]
+        m = stats_ref[0][:, 2 * h:2 * h + 1]  # (Lt, 1) f32
+        lsum = stats_ref[0][:, 2 * h + 1:2 * h + 2]  # (Lt, 1) f32
+        delta = delta_ref[0][:, h:h + 1]  # (Lt, 1) f32
+        r = 1.0 / lsum  # (Lt, 1)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Lt, S)
         if mask_ref is not None:
             s = jnp.where(mask_ref[0], jnp.float32(-1e30), s)
-        p = jax.nn.softmax(s, axis=-1)
+        ex = jnp.exp(s - m)  # (Lt, S); p = ex * r
         if rate > 0.0:
-            keep = _dropout_keep(seed_ref, h, p.shape, rate)
-            pd = _apply_dropout(p, keep, rate)
+            keep = _dropout_keep(seed_ref, h, ex.shape, rate)
+            ex_d = jnp.where(keep, ex, 0.0)
         else:
-            pd = p
-        pb = pd.astype(v.dtype)
-        # dv += p_dropᵀ @ do
+            ex_d = ex
+        # dv += p_dropᵀ @ do, with the r·inv_keep row scale folded into
+        # the (Lt, d) do operand
+        dof = (do.astype(jnp.float32) * (r * inv_keep)).astype(v.dtype)
         dv = jax.lax.dot_general(
-            pb, do, (((0,), (0,)), ((), ())),
+            ex_d.astype(v.dtype), dof, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (S, d)
         dv_acc[:, sl] += dv
-        # dp = (do @ vᵀ) through the dropout mask; ds = softmax backward
+        # dp = (do @ vᵀ) through the dropout mask; ds = p ⊙ (dp - delta)
+        # with the r fold deferred to the small operands
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Lt, S)
         if rate > 0.0:
-            dp = _apply_dropout(dp, keep, rate)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        ds = ex * (dp - delta)  # (Lt, S); true ds = this * r (folded below)
         dsb = ds.astype(q.dtype)
-        dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32)
+        dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32) * r
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        qf = (q.astype(jnp.float32) * r).astype(q.dtype)
         dk = jax.lax.dot_general(
-            dsb, q, (((0,), (0,)), ((), ())),
+            dsb, qf, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (S, d)
         dk_acc[:, sl] += dk
@@ -303,10 +346,11 @@ def fused_mha(q, k, v, num_heads, key_padding_mask=None, l_tile=512,
     Returns (B, L, E) — per-head attention with heads taken as contiguous
     E/num_heads lane slices (identical to the reshape-based jnp path).
     """
-    return _fused_mha_fwd_impl(
+    out, _ = _fused_mha_fwd_impl(
         q, k, v, num_heads, key_padding_mask, l_tile, interpret,
         dropout_rate, dropout_seed,
     )
+    return out
 
 
 @functools.partial(
@@ -315,12 +359,19 @@ def fused_mha(q, k, v, num_heads, key_padding_mask=None, l_tile=512,
 )
 def _fused_mha_fwd_impl(q, k, v, num_heads, mask, l_tile, interpret,
                         dropout_rate=0.0, dropout_seed=None):
+    """Returns (out[B, L, E], stats[B, L_pad, 2H] f32 or None).
+
+    stats packs the per-head softmax row max and exp-sum
+    (m_h at lane 2h, l_h at lane 2h+1) consumed by the flash-style
+    backward; None on the interpret-mode dropout emulation path (its
+    backward recomputes from scratch).
+    """
     b, l, e = q.shape
     s = k.shape[1]
     if dropout_rate > 0.0 and interpret:
         return _dropout_interpret_fwd(
             q, k, v, num_heads, mask, dropout_rate, dropout_seed
-        )
+        ), None
     if dropout_rate > 0.0:
         # pin the row-block size so the backward's (batch, l_tile) PRNG
         # seeding addresses the same rows (see _dropout_keep)
@@ -341,7 +392,15 @@ def _fused_mha_fwd_impl(q, k, v, num_heads, mask, l_tile, interpret,
         (1, 1, s), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
     )
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_shape = jax.ShapeDtypeStruct((b, l_pad, e), q.dtype)
+    stats_spec = pl.BlockSpec(
+        (1, lt, 2 * num_heads), lambda bi, i: (bi, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((b, l_pad, e), q.dtype),
+        jax.ShapeDtypeStruct((b, l_pad, 2 * num_heads), jnp.float32),
+    )
+    out_specs = (q_spec, stats_spec)
 
     if dropout_rate > 0.0:
         seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
@@ -349,68 +408,81 @@ def _fused_mha_fwd_impl(q, k, v, num_heads, mask, l_tile, interpret,
             kern = functools.partial(
                 _mha_fwd_kernel_dropout, heads=num_heads, rate=dropout_rate
             )
-            out = pl.pallas_call(
+            out, stats = pl.pallas_call(
                 kern, out_shape=out_shape, grid=grid,
                 in_specs=[seed_spec, q_spec, kv_spec, kv_spec],
-                out_specs=q_spec, interpret=interpret,
+                out_specs=out_specs, interpret=interpret,
             )(seed, q, k, v)
         else:
             kern = functools.partial(
                 _mha_fwd_kernel_masked_dropout, heads=num_heads,
                 rate=dropout_rate,
             )
-            out = pl.pallas_call(
+            out, stats = pl.pallas_call(
                 kern, out_shape=out_shape, grid=grid,
                 in_specs=[seed_spec, mask_spec, q_spec, kv_spec, kv_spec],
-                out_specs=q_spec, interpret=interpret,
+                out_specs=out_specs, interpret=interpret,
             )(seed, mask[:, None, :], q, k, v)
     elif mask is None:
-        out = pl.pallas_call(
+        out, stats = pl.pallas_call(
             functools.partial(_mha_fwd_kernel, heads=num_heads),
             out_shape=out_shape,
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec],
-            out_specs=q_spec,
+            out_specs=out_specs,
             interpret=interpret,
         )(q, k, v)
     else:
-        out = pl.pallas_call(
+        out, stats = pl.pallas_call(
             functools.partial(_mha_fwd_kernel_masked, heads=num_heads),
             out_shape=out_shape,
             grid=grid,
             in_specs=[mask_spec, q_spec, kv_spec, kv_spec],
-            out_specs=q_spec,
+            out_specs=out_specs,
             interpret=interpret,
         )(mask[:, None, :], q, k, v)
-    return out[:, :l]
+    return out[:, :l], stats
 
 
 def _fused_mha_fwd(q, k, v, num_heads, mask, l_tile, interpret,
                    dropout_rate, dropout_seed):
-    out = _fused_mha_fwd_impl(
+    out, stats = _fused_mha_fwd_impl(
         q, k, v, num_heads, mask, l_tile, interpret, dropout_rate,
         dropout_seed,
     )
-    return out, (q, k, v, mask, dropout_seed)
+    return out, (q, k, v, out, stats, mask, dropout_seed)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "interpret", "dropout_rate"),
 )
-def _fused_mha_bwd_impl(q, k, v, mask, g, num_heads, interpret,
+def _fused_mha_bwd_impl(q, k, v, out, stats, mask, g, num_heads, interpret,
                         dropout_rate=0.0, dropout_seed=None):
     b, l, e = q.shape
     s = k.shape[1]
+    d = e // num_heads
     if dropout_rate > 0.0 and interpret:
         return _dropout_interpret_bwd(
             q, k, v, mask, g, num_heads, dropout_rate, dropout_seed
         )
+    # delta_h = rowsum(dO_h ⊙ O_h) — the flash-bwd identity for
+    # Σ_s dP·P, computed in XLA on the small (B, L, E) tensors
+    delta = jnp.sum(
+        (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+            b, l, num_heads, d
+        ),
+        axis=-1,
+    )  # (B, L, H) f32
     lt = min(_BWD_L_TILE, _round_up(l, 128))
     l_pad = _round_up(l, lt)
     if l_pad != l:
         q = jnp.pad(q, ((0, 0), (0, l_pad - l), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, l_pad - l), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, l_pad - l), (0, 0)))
+    # the forward may have padded L to a larger tile multiple; its padded
+    # stats rows are well-formed (l >= 1), so slicing is always safe
+    stats = stats[:, :l_pad]
 
     grid = (b, l_pad // lt)
     q_spec = pl.BlockSpec(
@@ -423,6 +495,14 @@ def _fused_mha_bwd_impl(q, k, v, mask, g, num_heads, interpret,
         (1, 1, s), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
     )
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    stats_spec = pl.BlockSpec(
+        (1, lt, 2 * num_heads), lambda bi, i: (bi, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    delta_spec = pl.BlockSpec(
+        (1, lt, num_heads), lambda bi, i: (bi, i, 0),
+        memory_space=pltpu.VMEM,
+    )
     out_shapes = (
         jax.ShapeDtypeStruct((b, l_pad, e), q.dtype),  # dq
         jax.ShapeDtypeStruct((b, s, e), k.dtype),  # dk
@@ -441,10 +521,11 @@ def _fused_mha_bwd_impl(q, k, v, mask, g, num_heads, interpret,
             )
             dq, dk, dv = pl.pallas_call(
                 kern, out_shape=out_shapes, grid=grid,
-                in_specs=[seed_spec, q_spec, kv_spec, kv_spec, q_spec],
+                in_specs=[seed_spec, q_spec, kv_spec, kv_spec, q_spec,
+                          stats_spec, delta_spec],
                 out_specs=(q_spec, kv_spec, kv_spec),
                 scratch_shapes=scratch, interpret=interpret,
-            )(seed, q, k, v, g)
+            )(seed, q, k, v, g, stats, delta)
         else:
             kern = functools.partial(
                 _mha_bwd_kernel_masked_dropout, heads=num_heads,
@@ -453,31 +534,34 @@ def _fused_mha_bwd_impl(q, k, v, mask, g, num_heads, interpret,
             dq, dk, dv = pl.pallas_call(
                 kern, out_shape=out_shapes, grid=grid,
                 in_specs=[
-                    seed_spec, mask_spec, q_spec, kv_spec, kv_spec, q_spec
+                    seed_spec, mask_spec, q_spec, kv_spec, kv_spec, q_spec,
+                    stats_spec, delta_spec,
                 ],
                 out_specs=(q_spec, kv_spec, kv_spec),
                 scratch_shapes=scratch, interpret=interpret,
-            )(seed, mask[:, None, :], q, k, v, g)
+            )(seed, mask[:, None, :], q, k, v, g, stats, delta)
     elif mask is None:
         dq, dk, dv = pl.pallas_call(
             functools.partial(_mha_bwd_kernel, heads=num_heads),
             out_shape=out_shapes,
             grid=grid,
-            in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec, stats_spec,
+                      delta_spec],
             out_specs=(q_spec, kv_spec, kv_spec),
             scratch_shapes=scratch,
             interpret=interpret,
-        )(q, k, v, g)
+        )(q, k, v, g, stats, delta)
     else:
         dq, dk, dv = pl.pallas_call(
             functools.partial(_mha_bwd_kernel_masked, heads=num_heads),
             out_shape=out_shapes,
             grid=grid,
-            in_specs=[mask_spec, q_spec, kv_spec, kv_spec, q_spec],
+            in_specs=[mask_spec, q_spec, kv_spec, kv_spec, q_spec,
+                      stats_spec, delta_spec],
             out_specs=(q_spec, kv_spec, kv_spec),
             scratch_shapes=scratch,
             interpret=interpret,
-        )(mask[:, None, :], q, k, v, g)
+        )(mask[:, None, :], q, k, v, g, stats, delta)
     return dq[:, :l], dk, dv
 
 
@@ -511,7 +595,7 @@ def _fused_mha_bwd_jnp(q, k, v, mask, g, num_heads):
 
 
 def _fused_mha_bwd(num_heads, l_tile, interpret, dropout_rate, residuals, g):
-    q, k, v, mask, dropout_seed = residuals
+    q, k, v, out, stats, mask, dropout_seed = residuals
     if k.shape[1] > _MAX_BWD_S:
         # dropout is never eligible above _MAX_FUSED_S == _MAX_BWD_S, so
         # the jnp fallback (which cannot reproduce the in-kernel PRNG)
@@ -520,8 +604,8 @@ def _fused_mha_bwd(num_heads, l_tile, interpret, dropout_rate, residuals, g):
         dq, dk, dv = _fused_mha_bwd_jnp(q, k, v, mask, g, num_heads)
     else:
         dq, dk, dv = _fused_mha_bwd_impl(
-            q, k, v, mask, g, num_heads, interpret, dropout_rate,
-            dropout_seed,
+            q, k, v, out, stats, mask, g, num_heads, interpret,
+            dropout_rate, dropout_seed,
         )
     return dq, dk, dv, None, None
 
