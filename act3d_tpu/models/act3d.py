@@ -219,8 +219,7 @@ class Act3D(nn.Module):
 
             # ---- context tokens for this level
             if i == 0:
-                f0 = rgb_feats_pyramid[0]
-                context_feats_i = f0.reshape(b, -1, dim)
+                context_feats_i = rgb_feats_pyramid[0]  # (B, N0, F) tokens
                 context_xyz_i = pcd_pyramid[0]
             else:
                 idx = topk_nearest_context(
@@ -231,8 +230,9 @@ class Act3D(nn.Module):
                 # unique indices let XLA vectorise the gather's backward
                 # scatter-add (the fine-level hotspot — see gather_tokens)
                 idx = jnp.sort(idx, axis=-1)
-                fi = rgb_feats_pyramid[i].reshape(b, -1, dim)
-                context_feats_i = gather_tokens(fi, idx, sorted_indices=True)
+                context_feats_i = gather_tokens(
+                    rgb_feats_pyramid[i], idx, sorted_indices=True
+                )
                 context_xyz_i = gather_tokens(
                     pcd_pyramid[i], idx, sorted_indices=True
                 )

@@ -294,9 +294,7 @@ class DiffusionHead(nn.Module):
         deterministic: bool,
     ) -> jax.Array:
         dim = self.embedding_dim
-        rgb_feats = context["rgb_feats_pyramid"][scale]
-        b, ncam, h, w, f = rgb_feats.shape
-        context_feats = rgb_feats.reshape(b, ncam * h * w, f)
+        context_feats = context["rgb_feats_pyramid"][scale]  # (B, N, F)
         context_pos_xyz = context["pcd_pyramid"][scale]
         if p_inds is not None:
             context_feats = jnp.take_along_axis(

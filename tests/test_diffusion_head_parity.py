@@ -263,7 +263,7 @@ def test_diffusion_trunk_parity(rng):
     def run(mdl, traj, ts):
         context = dict(
             rgb_feats_pyramid=[
-                jnp.asarray(ctx_feats).reshape(B, 1, 5, 8, DIM)
+                jnp.asarray(ctx_feats).reshape(B, 40, DIM)
             ],
             pcd_pyramid=[jnp.asarray(ctx_xyz)],
             instr_feats=jnp.asarray(instr),
