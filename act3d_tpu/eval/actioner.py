@@ -9,6 +9,15 @@ round-trip happens once per keystep.
 The "chained" behaviour (the essence of ChainedDiffuser): Act3D's predicted
 keypose becomes the goal conditioning of the trajectory DDPM
 (reference utils_with_rlbench.py:236-247).
+
+Serving design: when both models are present the whole keystep — keypose
+forward, goal assembly, and the 100-step reverse diffusion — runs as ONE
+jitted XLA program (``fused_dispatch``, default on).  The reference pays a
+host round-trip between the two models (utils_with_rlbench.py:236-247
+reads the keypose back to Python to build ``goal_gripper``); here the
+predicted keypose never leaves the device, the observation tensors are
+transferred once instead of twice, and the policy costs a single dispatch
++ a single readback per keystep.
 """
 
 from __future__ import annotations
@@ -36,6 +45,7 @@ class Actioner:
         predict_keypose: bool = True,
         predict_trajectory: bool = True,
         seed: int = 0,
+        fused_dispatch: bool = True,
     ):
         self._keypose_model = keypose_model
         self._keypose_params = keypose_params
@@ -70,9 +80,49 @@ class Actioner:
                 )
             )
 
+        self._fused = bool(
+            fused_dispatch and predict_keypose and predict_trajectory
+        )
+        if self._fused:
+            action_slice = self._action_dim
+
+            def chained(rgbs, pcds, instr, gripper, mask, kkey, tkey):
+                pred = keypose_model.apply(
+                    {"params": keypose_params},
+                    rgbs, pcds, instr, gripper,
+                    sample_rng=kkey, gt_action=None, train_mode=False,
+                )
+                action = jnp.concatenate(
+                    [pred["position"], pred["rotation"], pred["gripper"]],
+                    axis=1,
+                )
+                traj = compute_trajectory(
+                    traj_model, {"params": traj_params},
+                    mask, rgbs, pcds, instr,
+                    gripper[:, :action_slice], action[:, :action_slice],
+                    tkey,
+                )
+                return pred, action, traj
+
+            self._chained_fn = jax.jit(chained)
+
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    @staticmethod
+    def _overlay_positions(output, pred):
+        # coarse/fine positions for the video overlays (the recorder
+        # reads output.get("coarse_position") — utils_with_rlbench.py:
+        # 634-635; the reference actioner never populated them)
+        pyramid = pred.get("position_pyramid")
+        if pyramid:
+            output["coarse_position"] = (
+                np.asarray(pyramid[0]).reshape(-1, 3)[-1]
+            )
+            output["fine_position"] = (
+                np.asarray(pred["position"]).reshape(-1, 3)[-1]
+            )
 
     def load_episode(self, task_str: str, variation: int):
         self._task_str = task_str
@@ -95,6 +145,19 @@ class Actioner:
         instr = self._instr
 
         output: Dict[str, Optional[np.ndarray]] = {"action": None}
+        if self._fused and trajectory_mask is not None:
+            # single XLA program: keypose -> goal -> 100-step sampler; the
+            # keys are drawn in the same order as the two-dispatch path so
+            # both produce identical actions for a given seed
+            kkey, tkey = self._next_key(), self._next_key()
+            pred, action, traj = self._chained_fn(
+                rgbs, pcds, instr, jnp.asarray(gripper),
+                jnp.asarray(trajectory_mask), kkey, tkey,
+            )
+            output["action"] = np.asarray(action)
+            output["trajectory"] = np.asarray(traj)
+            self._overlay_positions(output, pred)
+            return output
         if self._predict_keypose:
             pred = self._keypose_fn(
                 rgbs, pcds, instr, jnp.asarray(gripper), self._next_key()
@@ -107,17 +170,7 @@ class Actioner:
                 ],
                 axis=1,
             )
-            # coarse/fine positions for the video overlays (the recorder
-            # reads output.get("coarse_position") — utils_with_rlbench.py:
-            # 634-635; the reference actioner never populated them)
-            pyramid = pred.get("position_pyramid")
-            if pyramid:
-                output["coarse_position"] = (
-                    np.asarray(pyramid[0]).reshape(-1, 3)[-1]
-                )
-                output["fine_position"] = (
-                    np.asarray(pred["position"]).reshape(-1, 3)[-1]
-                )
+            self._overlay_positions(output, pred)
         else:
             output["action"] = np.asarray(gt_action)[:, -1]
 

@@ -157,6 +157,10 @@ def main(argv=None):
     p.add_argument("--predict_traj", type=int, default=1)
     p.add_argument("--use_instruction", type=int, default=1)
     p.add_argument("--action_dim", type=int, default=7)
+    p.add_argument("--fused_dispatch", type=int, default=1,
+                   help="1: run keypose->goal->sampler as one jitted "
+                        "program per keystep (one dispatch + readback); "
+                        "0: reference-style two dispatches")
     args = p.parse_args(argv)
 
     if args.gripper_loc_bounds:
@@ -183,6 +187,7 @@ def main(argv=None):
         predict_keypose=bool(args.predict_keypose),
         predict_trajectory=bool(args.predict_traj),
         seed=args.seed,
+        fused_dispatch=bool(args.fused_dispatch),
     )
     env = RLBenchEnv(
         data_path=args.data_dir,

@@ -217,33 +217,66 @@ def bench_chained_eval(ncam, size, traj_len, steps):
         noise_rng=jax.random.PRNGKey(1),
     )
 
-    kfn = jax.jit(
-        lambda p, rgbs, pcds, instr, grip, key: kmodel.apply(
-            {"params": p}, rgbs, pcds, instr, grip,
-            sample_rng=key, gt_action=None, train_mode=False,
-        )
-    )
-    tfn = jax.jit(
-        lambda p, mask, rgbs, pcds, instr, grip, goal, key:
-        compute_trajectory(
-            tmodel, {"params": p}, mask, rgbs, pcds, instr, grip, goal, key
-        )
-    )
+    # Default: the Actioner's fused serving path — keypose -> goal -> the
+    # 100-step sampler as ONE jitted program (one dispatch + one readback
+    # per keystep; the reference pays a host round-trip between the models,
+    # utils_with_rlbench.py:236-247).  BENCH_CHAINED_FUSED=0 measures the
+    # two-dispatch variant for the A/B.
+    fused = os.environ.get("BENCH_CHAINED_FUSED", "1") == "1"
+    if fused:
+        def chained(kp, tp, rgbs, pcds, instr, grip, mask, kkey, tkey):
+            pred = kmodel.apply(
+                {"params": kp}, rgbs, pcds, instr, grip,
+                sample_rng=kkey, gt_action=None, train_mode=False,
+            )
+            goal = jnp.concatenate(
+                [pred["position"], pred["rotation"]], axis=1
+            )
+            return compute_trajectory(
+                tmodel, {"params": tp}, mask, rgbs, pcds, instr,
+                grip[:, :7], goal, tkey,
+            )
 
-    def keystep(i):
-        pred = kfn(
-            kvars["params"], kdata["rgbs"], kdata["pcds"], kdata["instr"],
-            kdata["curr_gripper"], jax.random.PRNGKey(10 + i),
+        cfn = jax.jit(chained)
+
+        def keystep(i):
+            traj = cfn(
+                kvars["params"], tvars["params"], kdata["rgbs"],
+                kdata["pcds"], kdata["instr"], kdata["curr_gripper"],
+                tdata["trajectory_mask"], jax.random.PRNGKey(10 + i),
+                jax.random.PRNGKey(20 + i),
+            )
+            return np.asarray(traj)  # host readback, as the Mover consumes it
+    else:
+        kfn = jax.jit(
+            lambda p, rgbs, pcds, instr, grip, key: kmodel.apply(
+                {"params": p}, rgbs, pcds, instr, grip,
+                sample_rng=key, gt_action=None, train_mode=False,
+            )
         )
-        goal = jnp.concatenate(
-            [pred["position"], pred["rotation"]], axis=1
+        tfn = jax.jit(
+            lambda p, mask, rgbs, pcds, instr, grip, goal, key:
+            compute_trajectory(
+                tmodel, {"params": p}, mask, rgbs, pcds, instr, grip, goal,
+                key,
+            )
         )
-        traj = tfn(
-            tvars["params"], tdata["trajectory_mask"], tdata["rgbs"],
-            tdata["pcds"], tdata["instr"], tdata["curr_gripper"], goal,
-            jax.random.PRNGKey(20 + i),
-        )
-        return np.asarray(traj)  # host readback, as the Mover consumes it
+
+        def keystep(i):
+            pred = kfn(
+                kvars["params"], kdata["rgbs"], kdata["pcds"],
+                kdata["instr"], kdata["curr_gripper"],
+                jax.random.PRNGKey(10 + i),
+            )
+            goal = jnp.concatenate(
+                [pred["position"], pred["rotation"]], axis=1
+            )
+            traj = tfn(
+                tvars["params"], tdata["trajectory_mask"], tdata["rgbs"],
+                tdata["pcds"], tdata["instr"], tdata["curr_gripper"], goal,
+                jax.random.PRNGKey(20 + i),
+            )
+            return np.asarray(traj)  # host readback, as the Mover consumes it
 
     keystep(0)  # compile + warm
     times = []

@@ -161,6 +161,62 @@ def test_actioner_chained_prediction(rng):
     )
 
 
+def test_actioner_fused_dispatch_matches_two_dispatch(rng):
+    """The single-XLA-program serving path (fused_dispatch=True, default)
+    must produce the same actions/trajectories as the two-dispatch path for
+    the same seed — the fusion saves a host round-trip, not semantics."""
+    from act3d_tpu.eval.actioner import Actioner
+    from act3d_tpu.models import Act3D, DiffusionPlanner
+
+    bounds = ((-0.5, -0.5, 0.5), (0.5, 0.5, 1.5))
+    image = (128, 128)
+    keypose = Act3D(
+        image_size=image, embedding_dim=24, num_ghost_points=24,
+        num_ghost_points_val=48, num_sampling_level=2,
+        gripper_loc_bounds=bounds, use_instruction=True,
+    )
+    traj = DiffusionPlanner(
+        image_size=image, embedding_dim=24, num_query_cross_attn_layers=3,
+        use_goal=True, use_goal_at_test=False, use_instruction=True,
+        diffusion_timesteps=3, gripper_loc_bounds=bounds,
+    )
+    rgb = rng.uniform(0, 1, (1, 1, 3, *image)).astype(np.float32)
+    pcd = rng.uniform(-0.4, 1.4, (1, 1, 3, *image)).astype(np.float32)
+    grip = rng.uniform(0, 1, (1, 8)).astype(np.float32)
+    instr = rng.normal(size=(1, 53, 512)).astype(np.float32)
+    kp_vars = keypose.init(
+        jax.random.PRNGKey(0), rgb, pcd, instr, grip,
+        sample_rng=jax.random.PRNGKey(1), train_mode=False,
+    )
+    t = np.zeros((1, 6, 7), np.float32)
+    mask = np.zeros((1, 6), bool)
+    tj_vars = traj.init(
+        jax.random.PRNGKey(0), jnp.asarray(t), jnp.asarray(mask),
+        rgb, pcd, instr, grip[:, :7], grip[:, :7],
+        noise_rng=jax.random.PRNGKey(1),
+    )
+
+    outs = []
+    for fused in (True, False):
+        actioner = Actioner(
+            keypose_model=keypose, keypose_params=kp_vars["params"],
+            traj_model=traj, traj_params=tj_vars["params"],
+            instructions={"pick_and_lift": {0: instr}},
+            seed=7, fused_dispatch=fused,
+        )
+        actioner._rng = np.random.default_rng(7)  # same instruction pick
+        actioner.load_episode("pick_and_lift", 0)
+        outs.append(
+            actioner.predict(rgb * 2 - 1, pcd, grip, trajectory_mask=mask)
+        )
+    np.testing.assert_allclose(
+        outs[0]["action"], outs[1]["action"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        outs[0]["trajectory"], outs[1]["trajectory"], atol=1e-5
+    )
+
+
 # ------------------------------------------------------------------- video
 
 
