@@ -28,12 +28,31 @@ def enable_fast_prng() -> None:
 
 
 def enable_compilation_cache(path=None) -> None:
+    """Enable the persistent compile cache — TPU backend only.
+
+    TPU entries come from the remote compile server targeting the chip
+    (re-warming costs ~10 min of remote compiles), so caching them is the
+    difference between a 15-min and a 30-s bench start.
+
+    The CPU backend is deliberately NOT cached: XLA:CPU persists
+    AOT-compiled machine code stamped with the *compile-time* feature
+    list, which includes tuning pseudo-features (+prefer-no-scatter,
+    +prefer-no-gather) that never appear in the host's real CPU-flag set
+    — so every load fails the feature check ("machine features ...
+    doesn't match", cpu_aot_loader.cc) and recompiles anyway.  Verified
+    round 4: entries written by THIS host minutes earlier re-fail on the
+    next process; a host-ISA-fingerprinted subdir did not help.  The CPU
+    cache therefore never hits here and only costs failed-load time plus
+    an error line per lookup that drowns the driver's dryrun output.
+    ACT3D_CPU_CACHE=1 re-enables it for experiments on hosts where the
+    loader works.
+    """
     import jax
 
-    # per-platform subdirs: the remote compile server's CPU AOT artifacts
-    # target different machine features than this host (SIGILL risk if a
-    # shared cache serves them to local CPU runs)
-    cache_dir = Path(path or _DEFAULT).expanduser() / jax.default_backend()
+    backend = jax.default_backend()
+    if backend == "cpu" and os.environ.get("ACT3D_CPU_CACHE", "0") != "1":
+        return
+    cache_dir = Path(path or _DEFAULT).expanduser() / backend
     cache_dir.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -13,11 +13,18 @@ consumers):
     originates from uint8 sensor images, the stored [-1, 1] encoding is
     2*(u8/255)-0.5*2, and neither the NEAREST resize nor the yaw rotation
     leaves that 256-value palette.  4× smaller.
-  * pcds (f32, metres) → float16.  ~0.5 mm worst-case quantisation inside
-    the ±2 m workspace (11-bit mantissa at magnitude 2) — an order of
-    magnitude below the 1 cm position-accuracy metric.  2× smaller.
+  * pcds (f32, metres) → workspace-bounded uint16 (default).  Linear
+    quantisation over ``PCD_U16_BOUNDS`` = ±3.2 m: step (hi-lo)/65535 ≈
+    0.098 mm, uniform across the range — 5 orders below the 1 cm
+    position-accuracy metric, and strictly tighter than float16 beyond
+    |x| > 0.8 m (f16 spacing at 2 m is ~1 mm).  Points outside the bounds
+    clip; RLBench workspaces fit well inside ±3.2 m.  2× smaller than
+    f32, same wire size as f16 with ~10× less error at workspace edges.
+  * ``pcd_mode="f16"`` keeps the round-2 float16 encoding (~0.5 mm
+    worst-case inside ±2 m) for data that can exceed the fixed bounds.
 
-``expand_batch`` is a no-op on already-float batches, so loss functions
+``expand_batch`` dispatches on dtype, so no side-channel metadata rides
+the batch and it stays a no-op on already-float batches — loss functions
 call it unconditionally.
 """
 
@@ -29,14 +36,19 @@ import numpy as np
 
 import jax.numpy as jnp
 
-__all__ = ["compact_batch", "expand_batch"]
+__all__ = ["compact_batch", "expand_batch", "PCD_U16_BOUNDS"]
 
 _RGB_KEYS = ("rgbs",)
 _PCD_KEYS = ("pcds",)
 
+# fixed workspace bounds for the uint16 pcd encoding (metres); must match
+# between compact_batch and expand_batch, so they are module constants —
+# no per-batch metadata to shard/ship
+PCD_U16_BOUNDS = (-3.2, 3.2)
 
-def compact_batch(batch: Dict) -> Dict:
-    """Host-side (numpy) encode: uint8 rgbs + f16 pcds."""
+
+def compact_batch(batch: Dict, pcd_mode: str = "u16") -> Dict:
+    """Host-side (numpy) encode: uint8 rgbs + u16 (default) or f16 pcds."""
     out = dict(batch)
     for k in _RGB_KEYS:
         v = out.get(k)
@@ -44,8 +56,18 @@ def compact_batch(batch: Dict) -> Dict:
             out[k] = np.rint(np.clip(v, 0.0, 1.0) * 255.0).astype(np.uint8)
     for k in _PCD_KEYS:
         v = out.get(k)
-        if v is not None and v.dtype == np.float32:
+        if v is None or v.dtype != np.float32:
+            continue
+        if pcd_mode == "u16":
+            lo, hi = PCD_U16_BOUNDS
+            scale = 65535.0 / (hi - lo)
+            out[k] = np.rint(
+                (np.clip(v, lo, hi) - lo) * scale
+            ).astype(np.uint16)
+        elif pcd_mode == "f16":
             out[k] = v.astype(np.float16)
+        else:
+            raise ValueError(f"unknown pcd_mode {pcd_mode!r}")
     return out
 
 
@@ -58,6 +80,11 @@ def expand_batch(batch: Dict) -> Dict:
             out[k] = v.astype(jnp.float32) / 255.0
     for k in _PCD_KEYS:
         v = out.get(k)
-        if v is not None and v.dtype == jnp.float16:
+        if v is None:
+            continue
+        if v.dtype == jnp.uint16:
+            lo, hi = PCD_U16_BOUNDS
+            out[k] = v.astype(jnp.float32) * ((hi - lo) / 65535.0) + lo
+        elif v.dtype == jnp.float16:
             out[k] = v.astype(jnp.float32)
     return out

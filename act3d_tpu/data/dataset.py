@@ -17,12 +17,15 @@ access for evaluation parity.
 from __future__ import annotations
 
 import itertools
+import logging
 import math
 from collections import Counter, defaultdict
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 from .augment import Resize, Rotate, TrajectoryInterpolator
 from .episode import load_episode
@@ -120,26 +123,22 @@ class RLBenchDataset:
                 rng=self._rng,
             )
 
-        # episode file list, split equally over variations
+        # episode file list, split equally over variations, then capped
+        # per task (semantics follow dataset_engine.py; structure here is
+        # a two-pass scan + cap helper)
+        per_var_cap = None
+        if max_episodes_per_task > -1:
+            per_var_cap = {
+                task: max_episodes_per_task // n + 1
+                for task, n in self._num_vars.items()
+            }
         episodes_by_task = defaultdict(list)
         for r, (task, var) in itertools.product(self._root, taskvar):
-            data_dir = r / f"{task}+{var}"
-            if not data_dir.is_dir():
-                print(f"Can't find dataset folder {data_dir}")
-                continue
-            episodes = [
-                (task, var, ep)
-                for pattern in ("*.npy", "*.dat", "*.pkl")
-                for ep in sorted(data_dir.glob(pattern))
-            ]
-            if max_episodes_per_task > -1:
-                episodes = episodes[
-                    : max_episodes_per_task // self._num_vars[task] + 1
-                ]
-            if not episodes:
-                print(f"Can't find episodes at folder {data_dir}")
-                continue
-            episodes_by_task[task] += episodes
+            found = self._scan_variation_dir(
+                r / f"{task}+{var}", task, var,
+                None if per_var_cap is None else per_var_cap[task],
+            )
+            episodes_by_task[task] += found
 
         self._episodes = []
         for task, eps in episodes_by_task.items():
@@ -151,7 +150,27 @@ class RLBenchDataset:
             self._episodes += eps
         self._num_episodes = len(self._episodes)
         self._cache = _Cache(cache_size)
-        print(f"Created dataset from {root} with {self._num_episodes}")
+        log.info(
+            "RLBenchDataset ready: %d episode files under %s (%d taskvars)",
+            self._num_episodes, [str(r) for r in self._root], len(taskvar),
+        )
+
+    @staticmethod
+    def _scan_variation_dir(data_dir, task, var, cap):
+        """List episode files for one task+variation directory (capped)."""
+        if not data_dir.is_dir():
+            log.warning("missing taskvar directory: %s", data_dir)
+            return []
+        found = [
+            (task, var, ep)
+            for pattern in ("*.npy", "*.dat", "*.pkl")
+            for ep in sorted(data_dir.glob(pattern))
+        ]
+        if cap is not None:
+            found = found[:cap]
+        if not found:
+            log.warning("no episode files in %s", data_dir)
+        return found
 
     # ------------------------------------------------------------------
     def __len__(self):

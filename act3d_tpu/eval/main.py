@@ -62,15 +62,21 @@ def build_models(args, bounds):
         num_ghost_points=args.num_ghost_points,
         num_ghost_points_val=args.num_ghost_points_val,
         num_sampling_level=args.num_sampling_level,
+        num_ghost_point_cross_attn_layers=(
+            args.num_ghost_point_cross_attn_layers
+        ),
+        num_query_cross_attn_layers=args.keypose_query_cross_attn_layers,
+        num_vis_ins_attn_layers=args.num_vis_ins_attn_layers,
         gripper_loc_bounds=tuple(map(tuple, bounds)),
-        use_instruction=True,
+        use_instruction=bool(args.use_instruction),
     )
     traj_model = DiffusionPlanner(
         image_size=image_size,
         embedding_dim=args.traj_embedding_dim,
         output_dim=7,
         num_query_cross_attn_layers=args.num_query_cross_attn_layers,
-        use_instruction=True,
+        num_vis_ins_attn_layers=args.num_vis_ins_attn_layers,
+        use_instruction=bool(args.use_instruction),
         use_goal=True,
         use_goal_at_test=False,  # chained: goal comes from Act3D
         rotation_parametrization="6D",
@@ -135,6 +141,9 @@ def main(argv=None):
     p.add_argument("--num_ghost_points", type=int, default=1000)
     p.add_argument("--num_ghost_points_val", type=int, default=10000)
     p.add_argument("--num_sampling_level", type=int, default=3)
+    p.add_argument("--num_ghost_point_cross_attn_layers", type=int, default=2)
+    p.add_argument("--keypose_query_cross_attn_layers", type=int, default=2)
+    p.add_argument("--num_vis_ins_attn_layers", type=int, default=2)
     p.add_argument("--num_query_cross_attn_layers", type=int, default=6)
     p.add_argument("--diffusion_timesteps", type=int, default=100)
     p.add_argument("--interpolation_length", type=int, default=50)
@@ -161,6 +170,10 @@ def main(argv=None):
                    help="1: run keypose->goal->sampler as one jitted "
                         "program per keystep (one dispatch + readback); "
                         "0: reference-style two dispatches")
+    p.add_argument("--fake_sim", type=int, default=0,
+                   help="1: run against the sim-free dry-run backend "
+                        "(eval/fake_sim.py) instead of CoppeliaSim — "
+                        "exercises the full CLI without the simulator")
     args = p.parse_args(argv)
 
     if args.gripper_loc_bounds:
@@ -189,12 +202,22 @@ def main(argv=None):
         seed=args.seed,
         fused_dispatch=bool(args.fused_dispatch),
     )
+    image_size = tuple(int(x) for x in args.image_size.split(","))
+    fake_env = None
+    if args.fake_sim:
+        from .fake_sim import FakeSimEnv
+
+        fake_env = FakeSimEnv(
+            image_size=image_size, cameras=tuple(args.cameras),
+            seed=args.seed,
+        )
     env = RLBenchEnv(
         data_path=args.data_dir,
-        image_size=tuple(int(x) for x in args.image_size.split(",")),
+        image_size=image_size,
         apply_cameras=tuple(args.cameras),
         headless=bool(args.headless),
         collision_checking=bool(args.collision_checking),
+        env=fake_env,
     )
 
     results = {}
@@ -217,6 +240,7 @@ def main(argv=None):
         results[task] = rates
         print(task, rates)
         json.dump(results, open(args.output, "w"), indent=2)
+    return results
 
 
 if __name__ == "__main__":

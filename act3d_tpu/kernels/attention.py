@@ -613,6 +613,24 @@ def _fused_mha_bwd(num_heads, l_tile, interpret, dropout_rate, residuals, g):
 fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
 
 
+import os as _os
+
+
+def _head_pad_enabled(d: int) -> bool:
+    """Lane-pad odd head dims (act3d: emb 60 / 4 heads -> d=15) up to the
+    8-sublane granularity inside the kernel.  At d=15 every per-head lane
+    slice [15h:15(h+1)] straddles sublane boundaries and Mosaic inserts
+    lane-rotate ops on each q/k/v/do read and dq/dk/dv/o write — pure VPU
+    overhead in an already VPU-bound backward (r3 profile: ~11 ms/step).
+    Zero-filled pad lanes are numerically exact: they add 0 to every
+    qk dot, receive 0 output weight, and propagate 0 gradient.
+    ACT3D_MHA_PAD_HEADS=0/1 forces; default pads iff d % 8 != 0."""
+    env = _os.environ.get("ACT3D_MHA_PAD_HEADS")
+    if env is not None:
+        return env == "1"
+    return d % 8 != 0
+
+
 def fused_cross_attention(
     q: jax.Array,  # (B, L, E) — pre-scaled, post-rotary
     k: jax.Array,  # (B, S, E) — post-rotary
@@ -625,6 +643,25 @@ def fused_cross_attention(
     dropout_seed: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Multi-head attention core — kernel entry used by ops.attention."""
+    e = q.shape[-1]
+    d = e // num_heads
+    if _head_pad_enabled(d):
+        dp = _round_up(d, 8)
+
+        def padh(x):
+            b, n, _ = x.shape
+            x = x.reshape(b, n, num_heads, d)
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+            return x.reshape(b, n, num_heads * dp)
+
+        # pad/slice sit OUTSIDE the custom_vjp, so their gradients are
+        # XLA-native (pad^T = slice) and the kernel sees aligned lanes
+        out = fused_mha(
+            padh(q), padh(k), padh(v), num_heads, key_padding_mask,
+            l_tile, interpret, dropout_rate, dropout_seed,
+        )
+        b, l, _ = out.shape
+        return out.reshape(b, l, num_heads, dp)[..., :d].reshape(b, l, e)
     return fused_mha(
         q, k, v, num_heads, key_padding_mask, l_tile, interpret,
         dropout_rate, dropout_seed,

@@ -1,11 +1,15 @@
-"""End-to-end fixture drive of both training CLIs on a virtual CPU mesh.
+"""End-to-end fixture drive of the training AND eval CLIs on a virtual
+CPU mesh.
 
 Runs the REAL entry points (`act3d_tpu.train.main_keypose` /
 `main_trajectory`) against synthetic blosc fixtures with the full
 TPU-deployment configuration by default: 8 virtual devices as a dp4 x
 fsdp2 mesh, bf16 mixed precision, 2 sampler worker processes and compact
 uint8/f16 host->device transfer.  Checks that both runs complete with
-finite losses and write best/last checkpoints.
+finite losses and write best/last checkpoints — then feeds those
+checkpoints to the REAL eval CLI (`act3d_tpu.eval.main`) on the sim-free
+backend (eval/fake_sim.py) and checks the per-task success-rate JSON it
+writes (the reference eval1.py:209-241 surface).
 
 Usage (from the repo root; ~6-10 min on one CPU core):
   python scripts/drive_fixture_clis.py           # full deployment config
@@ -80,10 +84,44 @@ def main():
     main_trajectory.main(common + [
         "--embedding_dim", "24", "--num_query_cross_attn_layers", "1",
         "--num_vis_ins_attn_layers", "1", "--diffusion_timesteps", "5",
+        "--use_goal", "1",  # chained eval feeds Act3D's goal (eval1.py)
         "--run_log_dir", "tj",
     ])
     assert (tmp / "logs" / "exp" / "tj" / "best.msgpack").exists()
-    print("CLI DRIVE OK")
+
+    # --- eval CLI on the sim-free backend, consuming both checkpoints
+    # (reference online_evaluation/eval1.py:209-241's surface: checkpoint
+    # load -> task loop -> per-task success-rate JSON)
+    print("=== eval ===", flush=True)
+    import json
+
+    from act3d_tpu.eval import main as eval_main
+
+    out = tmp / "eval_results.json"
+    results = eval_main.main([
+        "--data_dir", str(tree), "--tasks", "pick_and_lift",
+        "--instructions", str(ipath),
+        "--keypose_ckpt", str(tmp / "logs" / "exp" / "kp" / "best.msgpack"),
+        "--traj_ckpt", str(tmp / "logs" / "exp" / "tj" / "best.msgpack"),
+        "--image_size", "128,128", "--cameras", "wrist",
+        "--keypose_embedding_dim", "12", "--traj_embedding_dim", "24",
+        "--num_ghost_points", "32", "--num_ghost_points_val", "32",
+        "--num_ghost_point_cross_attn_layers", "1",
+        "--keypose_query_cross_attn_layers", "1",
+        "--num_vis_ins_attn_layers", "1",
+        "--num_query_cross_attn_layers", "1",
+        "--diffusion_timesteps", "5", "--interpolation_length", "6",
+        "--num_demos", "1", "--max_tries", "1", "--max_steps", "2",
+        "--log_dir", str(tmp / "eval_logs"), "--output", str(out),
+        "--fake_sim", "1",
+    ])
+    on_disk = json.loads(out.read_text())
+    assert set(on_disk) == {"pick_and_lift"}, on_disk
+    assert "mean" in on_disk["pick_and_lift"], on_disk
+    assert 0.0 <= on_disk["pick_and_lift"]["mean"] <= 1.0
+    # JSON round-trip stringifies the int variation keys
+    assert on_disk["pick_and_lift"]["mean"] == results["pick_and_lift"]["mean"]
+    print("CLI DRIVE OK (keypose + trajectory + eval)")
 
 
 if __name__ == "__main__":

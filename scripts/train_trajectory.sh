@@ -40,4 +40,4 @@ python -m act3d_tpu.train.main_trajectory \
 #   --mixed_precision 1     bf16 compute, f32 master weights (headline cfg)
 #   --fsdp N                ZeRO-style param/optimizer sharding over N-way axis
 #   --num_workers K         multi-process shared-memory batch assembly
-#   --compact_transfer 1    uint8 rgb + f16 pcd over the host->device link
+#   --compact_transfer 1    uint8 rgb + u16 pcd over the host->device link

@@ -36,6 +36,28 @@ def pytest_configure(config):
     )
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="include tests marked slow (overfit loops, flagship-dim "
+        "packet rehearsals, multi-device equality at scale). Default "
+        "run deselects them so the suite stays an iteration tool "
+        "(~5 min); `pytest -q --slow` is the full suite (~19 min).",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # deselect slow tests unless --slow or an explicit -m expression is
+    # given; deselection (not skip) keeps the default summary free of
+    # pending-looking skip lines
+    if config.getoption("--slow") or config.getoption("-m"):
+        return
+    slow = [i for i in items if i.get_closest_marker("slow")]
+    if slow:
+        config.hook.pytest_deselected(items=slow)
+        items[:] = [i for i in items if not i.get_closest_marker("slow")]
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -23,13 +23,34 @@ def test_rgb_roundtrip_lossless_on_sensor_palette(rng):
 
 def test_pcd_f16_quantisation_below_metric_resolution(rng):
     pcds = rng.uniform(-2.0, 2.0, (2, 3, 3, 16, 16)).astype(np.float32)
-    enc = compact_batch({"pcds": pcds})
+    enc = compact_batch({"pcds": pcds}, pcd_mode="f16")
     assert enc["pcds"].dtype == np.float16
     dec = expand_batch({"pcds": jnp.asarray(enc["pcds"])})
     err = np.abs(np.asarray(dec["pcds"]) - pcds).max()
     # worst case ulp at |x|<2 is 2^-10 ~ 0.98 mm << the 1 cm metric
     assert err < 1.1e-3
     assert np.asarray(dec["pcds"]).dtype == np.float32
+
+
+def test_pcd_u16_default_quantisation_sub_tenth_mm(rng):
+    """Default pcd encoding: workspace-bounded uint16, step ~0.098 mm
+    uniform over ±3.2 m (an order tighter than f16 at workspace edges)."""
+    from act3d_tpu.data.compact import PCD_U16_BOUNDS
+
+    lo, hi = PCD_U16_BOUNDS
+    pcds = rng.uniform(-3.0, 3.0, (2, 3, 3, 16, 16)).astype(np.float32)
+    enc = compact_batch({"pcds": pcds})
+    assert enc["pcds"].dtype == np.uint16
+    dec = expand_batch({"pcds": jnp.asarray(enc["pcds"])})
+    err = np.abs(np.asarray(dec["pcds"]) - pcds).max()
+    half_step = 0.5 * (hi - lo) / 65535.0
+    assert err <= half_step * 1.01  # ~0.049 mm
+    assert np.asarray(dec["pcds"]).dtype == np.float32
+    # out-of-bounds points clip to the workspace edge
+    wild = np.array([[-10.0, 10.0, 0.0]], np.float32)
+    enc2 = compact_batch({"pcds": wild})
+    dec2 = np.asarray(expand_batch({"pcds": jnp.asarray(enc2["pcds"])})["pcds"])
+    np.testing.assert_allclose(dec2, [[lo, hi, 0.0]], atol=1e-4)
 
 
 def test_expand_is_identity_on_float_batches(rng):

@@ -170,6 +170,36 @@ def test_fused_mha_bwd_multi_ltile(rng):
         )
 
 
+def test_fused_cross_attention_head_pad_exact(rng):
+    """The d=15 -> 16 lane-padding wrapper (fused_cross_attention) is
+    numerically exact: zero pad lanes add nothing to qk dots, get zero
+    attention output, and carry zero gradient."""
+    b, l, s, heads, e = 2, 21, 45, 4, 60  # d = 15 triggers the pad path
+    assert kmod._head_pad_enabled(e // heads)
+    q = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32))
+    got = kmod.fused_cross_attention(q, k, v, heads, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_mha_ref(q, k, v, heads)),
+        atol=2e-5, rtol=1e-4,
+    )
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(_mha_ref(*a, heads) ** 2), argnums=(0, 1, 2)
+    )(q, k, v)
+    g_pad = jax.grad(
+        lambda *a: jnp.sum(
+            kmod.fused_cross_attention(*a, heads, interpret=True) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_, name in zip(g_pad, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-5, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
 # ---------------------------------------------------------------------------
 # In-kernel attention-weight dropout (VERDICT r2 #6).  On CPU the pallas
 # TPU PRNG has no lowering, so interpret mode uses a jnp emulation with

@@ -10,8 +10,13 @@ Two oracles for ops/schedulers.py:
    self-confirm.
 2. If ``tests/golden/ddpm_scheduler_golden.npz`` is present (produced by
    ``python -m act3d_tpu.convert.golden_scheduler`` on a machine with
-   diffusers installed — diffusers is absent from this image), every table
-   and step output is compared against diffusers' literal values.
+   diffusers installed), every table and step output is compared against
+   diffusers' literal values.  PERMANENTLY ENVIRONMENT-BLOCKED here:
+   diffusers is not installed and pip has zero egress (verified rounds
+   1-4), so these 4 cases stay skipped in this image by design.  The
+   dump script ships in every parity packet (convert/parity.py) so the
+   golden can be produced wherever the packet is run; oracle #1 above is
+   the in-image guarantee.
 
 Reference scheduler configs: diffusion_model.py:51-60 (scaled_linear +
 squaredcos_cap_v2, both prediction_type="sample"); stepping usage:
@@ -121,7 +126,9 @@ def test_add_noise_matches_float64_oracle(schedule, rng):
 # ------------------------------------------------------------- vs diffusers
 needs_golden = pytest.mark.skipif(
     not GOLDEN.exists(),
-    reason="diffusers golden dump not present (see convert/golden_scheduler.py)",
+    reason="ENVIRONMENT-BLOCKED: diffusers unobtainable in this image "
+    "(zero egress); golden producible only via the parity packet "
+    "(convert/golden_scheduler.py). Not pending work.",
 )
 
 
