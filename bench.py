@@ -604,6 +604,28 @@ def main():
             times.append((time.perf_counter() - t0) / CHAIN)
         return b / float(np.median(times))
 
+    if kind == "act3d_ab_headpad":
+        # Same-process A/B of the fused-MHA head-dim lane padding (d 15->16,
+        # kernels/attention.py::_head_pad_enabled).  The env var is read at
+        # trace time, so toggling it between two bench_train calls compiles
+        # two distinct programs in one session — immune to the tunneled
+        # chip's cross-process drift.
+        b = int(os.environ.get("BENCH_BATCH_ACT3D", "32"))
+        os.environ["ACT3D_MHA_PAD_HEADS"] = "0"
+        unpadded = bench_train("act3d", b)
+        os.environ["ACT3D_MHA_PAD_HEADS"] = "1"
+        padded = bench_train("act3d", b)
+        print(json.dumps({
+            "metric": "act3d_train_samples_per_sec_ab_headpad",
+            "value": round(max(padded, unpadded), 3), "unit": "samples/sec",
+            "vs_baseline": round(
+                max(padded, unpadded) / ASSUMED_A100_SAMPLES_PER_SEC, 3
+            ),
+            "head_pad_on": round(padded, 3),
+            "head_pad_off": round(unpadded, 3),
+        }))
+        return
+
     if kind in ("act3d", "diffusion"):
         samples_per_sec = bench_train(kind, batch)
         print(
