@@ -641,8 +641,17 @@ def fused_cross_attention(
     interpret: bool = False,
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,
+    keep_padded: bool = False,
 ) -> jax.Array:
-    """Multi-head attention core — kernel entry used by ops.attention."""
+    """Multi-head attention core — kernel entry used by ops.attention.
+
+    keep_padded: when head-dim lane padding is active, return the raw
+    (B, L, H*dp) kernel output (pad lanes are exactly zero) instead of
+    slicing back to (B, L, E).  The per-head strided slice can't fuse
+    into the output projection's matmul — callers that own the output
+    projection fold the slice into the weight instead (zero rows at pad
+    lanes, ops/attention.py) and skip one (B, L, E)-sized copy per site.
+    """
     e = q.shape[-1]
     d = e // num_heads
     if _head_pad_enabled(d):
@@ -660,6 +669,8 @@ def fused_cross_attention(
             padh(q), padh(k), padh(v), num_heads, key_padding_mask,
             l_tile, interpret, dropout_rate, dropout_seed,
         )
+        if keep_padded:
+            return out
         b, l, _ = out.shape
         return out.reshape(b, l, num_heads, dp)[..., :d].reshape(b, l, e)
     return fused_mha(

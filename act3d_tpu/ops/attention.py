@@ -57,8 +57,8 @@ def use_fused_attention(enabled: Optional[bool] = True):
     ``_MIN_FUSED_ROWS`` total query rows (small batch-1 eval shapes are
     faster on XLA — r3 sampler bisect).  Attention-weight dropout has an
     in-kernel implementation (TPU PRNG keep mask, regenerated in the
-    backward) gated behind ACT3D_FUSED_DROPOUT=1 — measured slower than
-    XLA at the diffusion trainer's shapes, see BENCH_NOTES round 3.
+    backward), ON by default since r4 (+18% full-scale diffusion A/B,
+    BENCH_NOTES round 4); ACT3D_FUSED_DROPOUT=0 opts out.
     Pass None to restore the automatic default (TPU on, others off);
     the ACT3D_FUSED_ATTENTION env var (0/1) overrides everything."""
     _FUSED["enabled"] = enabled
@@ -135,17 +135,20 @@ def multi_head_attention(
     if k_pe is not None:
         k = embed_rotary(k, k_pe)
 
-    # In-kernel dropout is implemented and TPU-validated but OFF by
-    # default: measured r3 A/B at the diffusion trainer's shapes (L=50
-    # queries / S<=53 contexts) has the kernel 9% behind XLA (500 vs 547
-    # samples/s — the pinned 128-row tile wastes 60% of each pass and the
-    # per-tile PRNG runs on the VPU), and the one site with a theoretical
-    # HBM win (50x3074 cross) crashes this environment's remote compile
-    # helper inside the full-model module (not reproducible standalone —
-    # see BENCH_NOTES round 3).  ACT3D_FUSED_DROPOUT=1 opts in.
+    # In-kernel attention-weight dropout, ON by default since round 4:
+    # the r3 blocker (a remote-compile-helper crash on the 50x3074
+    # pyramid cross-attention inside the full model) is gone on the
+    # current toolchain (scripts/repro_fused_dropout_crash.py — all four
+    # isolation rungs compile and run), and the full-scale same-process
+    # A/B (bench.py diffusion_ab_fused_dropout, b22 training step)
+    # measures fused 666.5 vs XLA 564.0 samples/s (+18%).  The r3
+    # negative (kernel 9% behind XLA) only ever covered the small
+    # S<=53 sites, which the _MIN_FUSED_S=128 routing floor keeps on
+    # XLA regardless — so this flag now only affects the big site.
+    # ACT3D_FUSED_DROPOUT=0 opts out.
     dropout_kernel_ok = (
         dropout_rng is not None
-        and os.environ.get("ACT3D_FUSED_DROPOUT", "0") == "1"
+        and os.environ.get("ACT3D_FUSED_DROPOUT", "1") == "1"
         and k.shape[1] <= int(os.environ.get("ACT3D_FUSED_DROPOUT_MAX_S",
                                              str(_MAX_FUSED_S)))
     )
@@ -170,8 +173,19 @@ def multi_head_attention(
         out = fused_cross_attention(
             q, k, v, num_heads, key_padding_mask=key_padding_mask,
             dropout_rate=float(dropout_rate), dropout_seed=seed,
+            keep_padded=True,
         )
-        return _proj(out, params.wo, params.bo)
+        if out.shape[-1] == E:
+            return _proj(out, params.wo, params.bo)
+        # Head-dim lane padding active (kernels/attention.py): fold the
+        # per-head un-pad slice into the output projection instead of
+        # copying — zero weight rows at the pad lanes are exact (the
+        # kernel writes exact zeros there) and pad^T/slice^T stay
+        # XLA-native through the VJP.
+        dp = out.shape[-1] // num_heads
+        wo = params.wo.reshape(num_heads, head_dim, E)
+        wo = jnp.pad(wo, ((0, 0), (0, dp - head_dim), (0, 0)))
+        return _proj(out, wo.reshape(num_heads * dp, E), params.bo)
 
     # (B, H, L, D)
     q = q.reshape(B, L, num_heads, head_dim).transpose(0, 2, 1, 3)

@@ -604,6 +604,30 @@ def main():
             times.append((time.perf_counter() - t0) / CHAIN)
         return b / float(np.median(times))
 
+    if kind == "diffusion_ab_fused_dropout":
+        # Same-process A/B of in-kernel attention dropout INCLUDING the
+        # 50x3074 cross-attention onto the visual pyramid — the one site
+        # with a real HBM win, excluded from the r3 negative because it
+        # crashed the remote compile helper (fixed toolchain verified via
+        # scripts/repro_fused_dropout_crash.py: all 4 rungs OK).  The env
+        # var is read at trace time, so toggling between two bench_train
+        # calls compiles two distinct programs in one session.
+        b = int(os.environ.get("BENCH_BATCH_DIFFUSION", str(batch)))
+        os.environ["ACT3D_FUSED_DROPOUT"] = "0"
+        xla_path = bench_train("diffusion", b)
+        os.environ["ACT3D_FUSED_DROPOUT"] = "1"
+        fused = bench_train("diffusion", b)
+        print(json.dumps({
+            "metric": "diffusion_train_samples_per_sec_ab_fused_dropout",
+            "value": round(max(fused, xla_path), 3), "unit": "samples/sec",
+            "vs_baseline": round(
+                max(fused, xla_path) / ASSUMED_A100_SAMPLES_PER_SEC, 3
+            ),
+            "fused_dropout_on": round(fused, 3),
+            "fused_dropout_off": round(xla_path, 3),
+        }))
+        return
+
     if kind == "act3d_ab_headpad":
         # Same-process A/B of the fused-MHA head-dim lane padding (d 15->16,
         # kernels/attention.py::_head_pad_enabled).  The env var is read at

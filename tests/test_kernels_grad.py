@@ -200,6 +200,52 @@ def test_fused_cross_attention_head_pad_exact(rng):
         )
 
 
+def test_fused_keep_padded_folded_projection_exact(rng):
+    """keep_padded + zero-row-expanded output weight == slice + matmul.
+
+    ops/attention.py folds the per-head un-pad slice into the output
+    projection (the slice can't fuse into the matmul; the weight pad
+    can).  Values AND weight/input gradients must match the slice path
+    exactly up to float addition order.
+    """
+    b, l, s, heads, e = 2, 21, 45, 4, 60  # d = 15 -> dp = 16
+    d, dp = e // heads, 16
+    q = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32))
+    wo = jnp.asarray(rng.normal(size=(e, e)).astype(np.float32)) * 0.1
+
+    def sliced(q, k, v, wo):
+        out = kmod.fused_cross_attention(q, k, v, heads, interpret=True)
+        return jnp.einsum("ble,ef->blf", out, wo)
+
+    def folded(q, k, v, wo):
+        out = kmod.fused_cross_attention(
+            q, k, v, heads, interpret=True, keep_padded=True
+        )
+        assert out.shape[-1] == heads * dp
+        wo_x = jnp.pad(
+            wo.reshape(heads, d, e), ((0, 0), (0, dp - d), (0, 0))
+        ).reshape(heads * dp, e)
+        return jnp.einsum("ble,ef->blf", out, wo_x)
+
+    np.testing.assert_allclose(
+        np.asarray(folded(q, k, v, wo)), np.asarray(sliced(q, k, v, wo)),
+        atol=2e-5, rtol=1e-4,
+    )
+    g_fold = jax.grad(
+        lambda *a: jnp.sum(folded(*a) ** 2), argnums=(0, 1, 2, 3)
+    )(q, k, v, wo)
+    g_slice = jax.grad(
+        lambda *a: jnp.sum(sliced(*a) ** 2), argnums=(0, 1, 2, 3)
+    )(q, k, v, wo)
+    for a, b_, name in zip(g_fold, g_slice, ("dq", "dk", "dv", "dwo")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-5, rtol=1e-4,
+            err_msg=name,
+        )
+
+
 # ---------------------------------------------------------------------------
 # In-kernel attention-weight dropout (VERDICT r2 #6).  On CPU the pallas
 # TPU PRNG has no lowering, so interpret mode uses a jnp emulation with
