@@ -24,8 +24,9 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .rotary import embed_rotary
+from .rotary import embed_rotary, pair_rotation_matrix
 
 __all__ = ["AttentionParams", "multi_head_attention", "use_fused_attention"]
 
@@ -123,17 +124,9 @@ def multi_head_attention(
       (B, L, E) attention output after the output projection.
     """
     B, L, E = query.shape
+    S = key.shape[1]
     head_dim = E // num_heads
     scaling = head_dim**-0.5
-
-    q = _proj(query, params.wq, params.bq) * scaling
-    k = _proj(key, params.wk, params.bk)
-    v = _proj(value, params.wv, params.bv)
-
-    if q_pe is not None:
-        q = embed_rotary(q, q_pe)
-    if k_pe is not None:
-        k = embed_rotary(k, k_pe)
 
     # In-kernel attention-weight dropout, ON by default since round 4:
     # the r3 blocker (a remote-compile-helper crash on the 50x3074
@@ -149,16 +142,92 @@ def multi_head_attention(
     dropout_kernel_ok = (
         dropout_rng is not None
         and os.environ.get("ACT3D_FUSED_DROPOUT", "1") == "1"
-        and k.shape[1] <= int(os.environ.get("ACT3D_FUSED_DROPOUT_MAX_S",
-                                             str(_MAX_FUSED_S)))
+        and S <= int(os.environ.get("ACT3D_FUSED_DROPOUT_MAX_S",
+                                    str(_MAX_FUSED_S)))
     )
-    if (
+    use_fused = (
         _fused_enabled()
         and not slot_competition
         and (dropout_rate == 0.0 or dropout_kernel_ok)
-        and _MIN_FUSED_S <= k.shape[1] <= _MAX_FUSED_S
+        and _MIN_FUSED_S <= S <= _MAX_FUSED_S
         and B * L >= _MIN_FUSED_ROWS
-    ):
+    )
+
+    wq, wk, wv = params.wq, params.wk, params.wv
+    bq, bk, bv = params.bq, params.bk, params.bv
+    rot_spec = None
+    if use_fused:
+        from ..kernels.attention import _head_pad_enabled, _round_up
+
+        # ACT3D_FOLD_HEADPAD=0 (trace-time) falls back to padding around
+        # the kernel (kernels/attention.py pads internally) — bench A/B
+        # hook isolating the weight-fold from the padding itself.
+        fold_ok = os.environ.get("ACT3D_FOLD_HEADPAD", "1") == "1"
+        if fold_ok and _head_pad_enabled(head_dim):
+            # Fold the kernel's head-dim lane padding (d -> dp, zeros in
+            # the pad lanes — exact) into the q/k/v projections as zero
+            # weight columns, and apply the rotary code in the padded
+            # layout, so no (B, N, E)-sized pad copy (nor its backward
+            # slice) survives around the kernel.  The rotary pair
+            # rotation crosses head boundaries at odd d (it acts on the
+            # full embedding, multihead_custom_attention.py:348-353) —
+            # the dense pair_rotation_matrix re-indexed by lane_map
+            # handles that permutation for free.  The padded code is the
+            # same tensor at every layer of a stack, so XLA CSEs the code
+            # pad to one op per stack (r4 diffusion profile: the per-site
+            # q/k/v pads + backward slices cost ~1.8 ms/step).
+            dp = _round_up(head_dim, 8)
+            lane_map = (
+                np.arange(E) // head_dim
+            ) * dp + np.arange(E) % head_dim
+            rot_spec = (lane_map, num_heads * dp)
+
+            def _padw(w):
+                w = w.reshape(w.shape[0], num_heads, head_dim)
+                w = jnp.pad(w, ((0, 0), (0, 0), (0, dp - head_dim)))
+                return w.reshape(w.shape[0], num_heads * dp)
+
+            def _padb(b):
+                if b is None:
+                    return None
+                b = jnp.pad(
+                    b.reshape(num_heads, head_dim),
+                    ((0, 0), (0, dp - head_dim)),
+                )
+                return b.reshape(num_heads * dp)
+
+            def _pad_code(c):
+                c = c.reshape(
+                    c.shape[0], c.shape[1], num_heads, head_dim, 2
+                )
+                c = jnp.pad(
+                    c,
+                    ((0, 0), (0, 0), (0, 0), (0, dp - head_dim), (0, 0)),
+                )
+                return c.reshape(c.shape[0], c.shape[1], num_heads * dp, 2)
+
+            wq, wk, wv = _padw(wq), _padw(wk), _padw(wv)
+            bq, bk, bv = _padb(bq), _padb(bk), _padb(bv)
+            if q_pe is not None:
+                q_pe = _pad_code(q_pe)
+            if k_pe is not None:
+                k_pe = _pad_code(k_pe)
+
+    q = _proj(query, wq, bq) * scaling
+    k = _proj(key, wk, bk)
+    v = _proj(value, wv, bv)
+
+    rot = (
+        pair_rotation_matrix(E, q.dtype, *rot_spec)
+        if rot_spec is not None
+        else None
+    )
+    if q_pe is not None:
+        q = embed_rotary(q, q_pe, rot=rot)
+    if k_pe is not None:
+        k = embed_rotary(k, k_pe, rot=rot)
+
+    if use_fused:
         from ..kernels.attention import fused_cross_attention
 
         seed = None

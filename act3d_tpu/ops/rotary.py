@@ -14,11 +14,15 @@ checkpoints see identical rotations.
 from __future__ import annotations
 
 import math
+import os
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["rotary_pe_3d", "embed_rotary", "sinusoidal_pos_emb"]
+__all__ = ["rotary_pe_3d", "embed_rotary", "pair_rotation_matrix",
+           "sinusoidal_pos_emb"]
 
 
 def _duplicate_interleave(x: jax.Array) -> jax.Array:
@@ -60,7 +64,42 @@ def rotary_pe_3d(xyz: jax.Array, feature_dim: int) -> jax.Array:
     return jax.lax.stop_gradient(code)
 
 
-def embed_rotary(x: jax.Array, code: jax.Array) -> jax.Array:
+@lru_cache(maxsize=8)
+def _pair_rotation_np(f: int) -> np.ndarray:
+    """(F, F) constant with ``x @ R == rotate_pairs(x)``.
+
+    Column j holds the single signed source of output lane j:
+    ``x2[2m] = -x[2m+1]`` and ``x2[2m+1] = x[2m]``.
+    """
+    r = np.zeros((f, f), dtype=np.float32)
+    even = np.arange(0, f, 2)
+    odd = np.arange(1, f, 2)
+    r[odd, even] = -1.0  # x2[even j] = -x[j + 1]
+    r[even, odd] = 1.0  # x2[odd j] = x[j - 1]
+    return r
+
+
+def pair_rotation_matrix(
+    f: int, dtype, lane_map: "np.ndarray | None" = None, padded_dim: int = 0
+) -> jax.Array:
+    """The rotate-pairs permutation as a dense ±1 matrix.
+
+    With ``lane_map`` (unpadded lane i lives at padded lane ``lane_map[i]``)
+    the matrix is re-indexed into the padded layout: pad lanes get all-zero
+    rows and columns, so padded inputs with zero pad lanes produce padded
+    outputs with zero pad lanes.
+    """
+    r = _pair_rotation_np(f)
+    if lane_map is not None:
+        rp = np.zeros((padded_dim, padded_dim), dtype=np.float32)
+        rp[np.ix_(lane_map, lane_map)] = r
+        r = rp
+    return jnp.asarray(r, dtype=dtype)
+
+
+def embed_rotary(
+    x: jax.Array, code: jax.Array, rot: "jax.Array | None" = None
+) -> jax.Array:
     """Apply a rotary position code to features.
 
     Args:
@@ -68,6 +107,10 @@ def embed_rotary(x: jax.Array, code: jax.Array) -> jax.Array:
          reference applies RoPE on the fused q/k projections,
          multihead_custom_attention.py:348-353).
       code: (..., N, F, 2) output of :func:`rotary_pe_3d`.
+      rot: optional precomputed pair-rotation matrix (e.g. the padded-layout
+         variant from :func:`pair_rotation_matrix` when the caller runs the
+         fused kernel's head-dim lane padding); default is the standard
+         (F, F) one.
 
     Returns:
       (..., N, F) rotated features: ``x * cos + rotate_pairs(x) * sin`` with
@@ -78,7 +121,20 @@ def embed_rotary(x: jax.Array, code: jax.Array) -> jax.Array:
     # of silently promoting the score matmul to f32.
     code = code.astype(x.dtype)
     cos, sin = code[..., 0], code[..., 1]
-    x2 = jnp.stack([-x[..., 1::2], x[..., ::2]], axis=-1).reshape(x.shape)
+    # rotate_pairs as a dense matmul against a ±1 permutation matrix: the
+    # strided stack/reshape formulation materialises lane-shuffle copies at
+    # every attention layer on TPU (r4 diffusion profile: ~1.4 ms/step over
+    # 96 sites) while the (F, F) matmul rides the MXU and its cos/sin
+    # epilogue fuses.  Exact: each output lane is one signed copy of one
+    # input lane (every other product is a true zero).
+    # ACT3D_ROTARY_MATMUL=0 (trace-time) restores the stack/reshape
+    # formulation — bench A/B hook.
+    if rot is None and os.environ.get("ACT3D_ROTARY_MATMUL", "1") != "1":
+        x2 = jnp.stack([-x[..., 1::2], x[..., ::2]], axis=-1).reshape(x.shape)
+        return x * cos + x2 * sin
+    if rot is None:
+        rot = pair_rotation_matrix(x.shape[-1], x.dtype)
+    x2 = jnp.einsum("...f,fg->...g", x, rot)
     return x * cos + x2 * sin
 
 

@@ -628,6 +628,34 @@ def main():
         }))
         return
 
+    if kind in ("act3d_ab_projfold", "diffusion_ab_projfold"):
+        # Same-process A/B of the round-4 projection-fold package: head-dim
+        # pad folded into the q/k/v weights as zero columns (no per-site
+        # (B,N,E) pad copies + backward slices) and rotate_pairs as a dense
+        # ±1 matmul instead of the strided stack/reshape lane shuffle.
+        # Both env vars are read at trace time, so toggling between two
+        # bench_train calls compiles two distinct programs in one session.
+        which = kind.split("_")[0]
+        b = int(os.environ.get(
+            "BENCH_BATCH_" + which.upper(), "32" if which == "act3d" else str(batch)
+        ))
+        os.environ["ACT3D_FOLD_HEADPAD"] = "0"
+        os.environ["ACT3D_ROTARY_MATMUL"] = "0"
+        off = bench_train(which, b)
+        os.environ["ACT3D_FOLD_HEADPAD"] = "1"
+        os.environ["ACT3D_ROTARY_MATMUL"] = "1"
+        on = bench_train(which, b)
+        print(json.dumps({
+            "metric": f"{which}_train_samples_per_sec_ab_projfold",
+            "value": round(max(on, off), 3), "unit": "samples/sec",
+            "vs_baseline": round(
+                max(on, off) / ASSUMED_A100_SAMPLES_PER_SEC, 3
+            ),
+            "projfold_on": round(on, 3),
+            "projfold_off": round(off, 3),
+        }))
+        return
+
     if kind == "act3d_ab_headpad":
         # Same-process A/B of the fused-MHA head-dim lane padding (d 15->16,
         # kernels/attention.py::_head_pad_enabled).  The env var is read at

@@ -285,3 +285,59 @@ def test_fused_attention_routing_floors(rng, b, l, s, expect_fused):
         attn_mod.use_fused_attention(False)
         kmod.fused_cross_attention = orig
     assert bool(calls) == expect_fused
+
+
+def test_fused_padded_projection_path_matches_jnp(rng):
+    """Odd head dims + rotary: the pre-padded projection path (head-dim
+    lane padding folded into wq/wk/wv as zero columns, rotary applied in
+    the padded layout via the re-indexed pair_rotation_matrix) must match
+    the XLA path exactly in values and in every parameter gradient."""
+    from act3d_tpu.ops.attention import AttentionParams, multi_head_attention
+    from act3d_tpu.ops import attention as attn_mod
+    from act3d_tpu.ops.rotary import rotary_pe_3d
+    import act3d_tpu.kernels.attention as kmod
+
+    E, H, B, L, S = 60, 4, 2, 40, 72  # d = 15: padding active
+    mk = lambda *shape: rng.normal(size=shape).astype(np.float32) * 0.1
+    params = AttentionParams(
+        wq=jnp.asarray(mk(E, E)), wk=jnp.asarray(mk(E, E)),
+        wv=jnp.asarray(mk(E, E)), wo=jnp.asarray(mk(E, E)),
+        bq=jnp.asarray(mk(E)), bk=jnp.asarray(mk(E)),
+        bv=jnp.asarray(mk(E)), bo=jnp.asarray(mk(E)),
+    )
+    q = jnp.asarray(mk(B, L, E) * 10)
+    kv = jnp.asarray(mk(B, S, E) * 10)
+    q_pe = rotary_pe_3d(jnp.asarray(mk(B, L, 3)), E)
+    k_pe = rotary_pe_3d(jnp.asarray(mk(B, S, 3)), E)
+
+    def loss(p):
+        out = multi_head_attention(
+            p, q, kv, kv, H, q_pe=q_pe, k_pe=k_pe
+        )
+        return jnp.sum(out**2)
+
+    want, want_grads = jax.value_and_grad(loss)(params)
+
+    orig = kmod.fused_cross_attention
+    kmod.fused_cross_attention = lambda *a, **k: orig(
+        *a, **{**k, "interpret": True}
+    )
+    min_rows, min_s = attn_mod._MIN_FUSED_ROWS, attn_mod._MIN_FUSED_S
+    try:
+        attn_mod.use_fused_attention(True)
+        attn_mod._MIN_FUSED_ROWS = 0
+        attn_mod._MIN_FUSED_S = 0
+        got, got_grads = jax.value_and_grad(loss)(params)
+    finally:
+        attn_mod.use_fused_attention(False)
+        attn_mod._MIN_FUSED_ROWS = min_rows
+        attn_mod._MIN_FUSED_S = min_s
+        kmod.fused_cross_attention = orig
+
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    for name in AttentionParams._fields:
+        a, b = getattr(got_grads, name), getattr(want_grads, name)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3,
+            err_msg=f"grad mismatch for {name}",
+        )

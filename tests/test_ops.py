@@ -228,3 +228,29 @@ def test_rotation_from_svd(rng):
     got = np.asarray(R.rotation_from_svd(rotated[None], pts[None]))[0]
     np.testing.assert_allclose(got, rot, atol=1e-4)
     np.testing.assert_allclose(np.linalg.det(got), 1.0, atol=1e-5)
+
+
+def test_embed_rotary_padded_layout_matches_unpadded(rng):
+    """pair_rotation_matrix re-indexed by a head lane_map: rotary applied
+    to head-padded features (zero pad lanes) equals padding the unpadded
+    result — including pairs that straddle head boundaries at odd d."""
+    E, H, d, dp = 60, 4, 15, 16
+    x = rng.normal(size=(2, 9, E)).astype(np.float32)
+    xyz = rng.normal(size=(2, 9, 3)).astype(np.float32)
+    code = rotary.rotary_pe_3d(jnp.asarray(xyz), E)
+
+    want = np.asarray(rotary.embed_rotary(jnp.asarray(x), code))
+
+    lane_map = (np.arange(E) // d) * dp + np.arange(E) % d
+    xp = np.zeros((2, 9, H * dp), np.float32)
+    xp[..., lane_map] = x
+    codep = np.zeros((2, 9, H * dp, 2), np.float32)
+    codep[..., lane_map, :] = np.asarray(code)
+    rot = rotary.pair_rotation_matrix(E, jnp.float32, lane_map, H * dp)
+    got = np.asarray(
+        rotary.embed_rotary(jnp.asarray(xp), jnp.asarray(codep), rot=rot)
+    )
+    # real lanes match, pad lanes are exactly zero
+    np.testing.assert_allclose(got[..., lane_map], want, atol=1e-6)
+    pad_lanes = np.setdiff1d(np.arange(H * dp), lane_map)
+    assert np.all(got[..., pad_lanes] == 0.0)
