@@ -159,10 +159,15 @@ def multi_head_attention(
     if use_fused:
         from ..kernels.attention import _head_pad_enabled, _round_up
 
-        # ACT3D_FOLD_HEADPAD=0 (trace-time) falls back to padding around
-        # the kernel (kernels/attention.py pads internally) — bench A/B
-        # hook isolating the weight-fold from the padding itself.
-        fold_ok = os.environ.get("ACT3D_FOLD_HEADPAD", "1") == "1"
+        # ACT3D_FOLD_HEADPAD=1 (trace-time) folds the head-dim pad into
+        # the q/k/v weights instead of padding around the kernel.  Ships
+        # OFF: at the diffusion 50x3074 site the pre-padded operands push
+        # the fused backward's scoped VMEM to 16.7M vs the 16M limit and
+        # the production-scale compile fails (measured 2026-08-20,
+        # BENCH_NOTES "Projection-fold A/B").  Values/grads are exact and
+        # unit-tested; re-enable once the backward's block sizes shrink
+        # under padded lanes.
+        fold_ok = os.environ.get("ACT3D_FOLD_HEADPAD", "0") == "1"
         if fold_ok and _head_pad_enabled(head_dim):
             # Fold the kernel's head-dim lane padding (d -> dp, zeros in
             # the pad lanes — exact) into the q/k/v projections as zero

@@ -121,15 +121,16 @@ def embed_rotary(
     # of silently promoting the score matmul to f32.
     code = code.astype(x.dtype)
     cos, sin = code[..., 0], code[..., 1]
-    # rotate_pairs as a dense matmul against a ±1 permutation matrix: the
-    # strided stack/reshape formulation materialises lane-shuffle copies at
-    # every attention layer on TPU (r4 diffusion profile: ~1.4 ms/step over
-    # 96 sites) while the (F, F) matmul rides the MXU and its cos/sin
-    # epilogue fuses.  Exact: each output lane is one signed copy of one
-    # input lane (every other product is a true zero).
-    # ACT3D_ROTARY_MATMUL=0 (trace-time) restores the stack/reshape
-    # formulation — bench A/B hook.
-    if rot is None and os.environ.get("ACT3D_ROTARY_MATMUL", "1") != "1":
+    # ACT3D_ROTARY_MATMUL=1 (trace-time): rotate_pairs as a dense matmul
+    # against a ±1 permutation matrix instead of the strided stack/reshape
+    # lane shuffle (which the r4 diffusion profile attributed ~1.4 ms/step
+    # over 96 sites).  Exact: each output lane is one signed copy of one
+    # input lane.  Ships OFF until measured on chip — the only full-scale
+    # attempt ran bundled with ACT3D_FOLD_HEADPAD, whose compile failure
+    # aborted the session before this lever got a number (BENCH_NOTES
+    # "Projection-fold A/B", 2026-08-20).  Callers passing ``rot``
+    # explicitly (the padded fold path) always use the matmul form.
+    if rot is None and os.environ.get("ACT3D_ROTARY_MATMUL", "0") != "1":
         x2 = jnp.stack([-x[..., 1::2], x[..., ::2]], axis=-1).reshape(x.shape)
         return x * cos + x2 * sin
     if rot is None:

@@ -287,11 +287,15 @@ def test_fused_attention_routing_floors(rng, b, l, s, expect_fused):
     assert bool(calls) == expect_fused
 
 
-def test_fused_padded_projection_path_matches_jnp(rng):
+def test_fused_padded_projection_path_matches_jnp(rng, monkeypatch):
     """Odd head dims + rotary: the pre-padded projection path (head-dim
     lane padding folded into wq/wk/wv as zero columns, rotary applied in
     the padded layout via the re-indexed pair_rotation_matrix) must match
-    the XLA path exactly in values and in every parameter gradient."""
+    the XLA path exactly in values and in every parameter gradient.
+
+    The fold ships default-OFF (production-scale compile failure, see
+    ops/attention.py) — pin it ON here so the path stays covered."""
+    monkeypatch.setenv("ACT3D_FOLD_HEADPAD", "1")
     from act3d_tpu.ops.attention import AttentionParams, multi_head_attention
     from act3d_tpu.ops import attention as attn_mod
     from act3d_tpu.ops.rotary import rotary_pe_3d
