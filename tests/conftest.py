@@ -42,7 +42,8 @@ def pytest_addoption(parser):
         help="include tests marked slow (overfit loops, flagship-dim "
         "packet rehearsals, multi-device equality at scale). Default "
         "run deselects them so the suite stays an iteration tool "
-        "(~5 min); `pytest -q --slow` is the full suite (~19 min).",
+        "(~13 min measured r4); `pytest -q --slow` is the full suite "
+        "(~27 min measured r4).",
     )
 
 

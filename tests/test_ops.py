@@ -254,3 +254,18 @@ def test_embed_rotary_padded_layout_matches_unpadded(rng):
     np.testing.assert_allclose(got[..., lane_map], want, atol=1e-6)
     pad_lanes = np.setdiff1d(np.arange(H * dp), lane_map)
     assert np.all(got[..., pad_lanes] == 0.0)
+
+
+def test_embed_rotary_matmul_env_matches_default(rng, monkeypatch):
+    """ACT3D_ROTARY_MATMUL=1 (dense ±1-matmul rotate_pairs) is exact vs the
+    default stack/reshape lane shuffle — keeps the env-gated branch from
+    rotting while it ships default-OFF (see ops/rotary.py:124-139)."""
+    xyz = rng.normal(size=(2, 9, 3)).astype(np.float32)
+    code = rotary.rotary_pe_3d(jnp.asarray(xyz), 60)
+    x = jnp.asarray(rng.normal(size=(2, 9, 60)).astype(np.float32))
+
+    monkeypatch.delenv("ACT3D_ROTARY_MATMUL", raising=False)
+    want = np.asarray(rotary.embed_rotary(x, code))
+    monkeypatch.setenv("ACT3D_ROTARY_MATMUL", "1")
+    got = np.asarray(rotary.embed_rotary(x, code))
+    np.testing.assert_allclose(got, want, atol=1e-6)
