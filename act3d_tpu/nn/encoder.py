@@ -38,6 +38,10 @@ from .resnet import (
 
 def pyramid_layout(image_size: Tuple[int, int]):
     """(feature_map_pyramid, downscaling_factor_pyramid) per encoder.py:40-53."""
+    if image_size == (64, 64):
+        # not a reference config — same structure as 128^2; used by the
+        # budgeted multichip dryrun to fit flagship-width compiles on CPU
+        return ["res2", "res1", "res1", "res1"], [4, 2, 2, 2]
     if image_size == (128, 128):
         return ["res2", "res1", "res1", "res1"], [4, 2, 2, 2]
     if image_size == (256, 256):
