@@ -38,33 +38,42 @@ class Resize:
         self.scales = scales
         self.rng = rng or np.random.default_rng()
 
+    def sample_index_maps(
+        self, raw_h: int, raw_w: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Draw one augmentation and return it as per-axis SOURCE-index
+        vectors (rows (raw_h,), cols (raw_w,)): the whole NEAREST resize
+        + reflect-pad + random-crop collapses to an outer index map
+        ``img[rows[:, None], cols[None, :]]``.  This is what makes the
+        depth wire exact (data/depthwire.py): the maps ride the batch and
+        the gather runs on device.  Draw order (scale, i, j) matches the
+        historical __call__ so seeded streams are unchanged."""
+        sc = self.rng.uniform(*self.scales)
+        new_h, new_w = int(raw_h * sc), int(raw_w * sc)
+        rows = np.minimum(
+            (np.arange(new_h) * raw_h / new_h).astype(np.int64), raw_h - 1
+        )
+        cols = np.minimum(
+            (np.arange(new_w) * raw_w / new_w).astype(np.int64), raw_w - 1
+        )
+        pad_b = max(raw_h - new_h, 0)
+        pad_r = max(raw_w - new_w, 0)
+        if pad_b or pad_r:
+            # reflecting the index vector == indexing the reflected image
+            rows = np.pad(rows, (0, pad_b), mode="reflect")
+            cols = np.pad(cols, (0, pad_r), mode="reflect")
+        i = self.rng.integers(0, len(rows) - raw_h + 1)
+        j = self.rng.integers(0, len(cols) - raw_w + 1)
+        return rows[i : i + raw_h], cols[j : j + raw_w]
+
     def __call__(self, **kwargs: np.ndarray) -> Dict[str, np.ndarray]:
         keys = list(kwargs)
         if not keys:
             raise RuntimeError("No args")
-        sc = self.rng.uniform(*self.scales)
         raw_h, raw_w = kwargs[keys[0]].shape[-2:]
-        new_h, new_w = int(raw_h * sc), int(raw_w * sc)
-
-        out = {n: _resize_nearest(a, new_h, new_w) for n, a in kwargs.items()}
-
-        pad_b = max(raw_h - new_h, 0)
-        pad_r = max(raw_w - new_w, 0)
-        if pad_b or pad_r:
-            out = {
-                n: np.pad(
-                    a,
-                    [(0, 0)] * (a.ndim - 2) + [(0, pad_b), (0, pad_r)],
-                    mode="reflect",
-                )
-                for n, a in out.items()
-            }
-
-        cur_h, cur_w = next(iter(out.values())).shape[-2:]
-        i = self.rng.integers(0, cur_h - raw_h + 1)
-        j = self.rng.integers(0, cur_w - raw_w + 1)
+        rows, cols = self.sample_index_maps(raw_h, raw_w)
         return {
-            n: a[..., i : i + raw_h, j : j + raw_w] for n, a in out.items()
+            n: a[..., rows[:, None], cols[None, :]] for n, a in kwargs.items()
         }
 
 
@@ -116,8 +125,21 @@ class Rotate:
         self.rng = rng or np.random.default_rng()
 
     def __call__(self, pcds, gripper, action, trajectory=None):
+        rot, gripper, action, trajectory = self.sample(
+            gripper, action, trajectory
+        )
+        if rot is not None:
+            pcds = np.einsum("ij,tcjhw->tcihw", rot, pcds)
+        return pcds, gripper, action, trajectory
+
+    def sample(self, gripper, action, trajectory=None):
+        """Draw + apply the pose part; return (rot | None, poses...).
+
+        The world rotation is returned so the depth wire can fold it into
+        the camera-to-world extrinsic instead of rotating per pixel
+        (data/depthwire.py).  Draw/rejection order matches __call__."""
         if self.yaw_range == 0.0:
-            return pcds, gripper, action, trajectory
+            return None, gripper, action, trajectory
 
         for _ in range(self.num_tries):
             yaw = self.rng.uniform(-self.yaw_range, self.yaw_range)
@@ -151,9 +173,8 @@ class Rotate:
                     t_pos, t_quat = rot_pose(t)
                     t[:, :3], t[:, 3:7] = t_pos, t_quat
                     trajectory = t.reshape(trajectory.shape)
-                pcds = np.einsum("ij,tcjhw->tcihw", rot, pcds)
-                break
-        return pcds, gripper, action, trajectory
+                return rot, gripper, action, trajectory
+        return None, gripper, action, trajectory
 
 
 class TrajectoryInterpolator:

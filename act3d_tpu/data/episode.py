@@ -11,6 +11,11 @@ datasets/utils.py:16-37 and indexed by datasets/dataset_engine.py:139-149):
       camera_dicts,     # list of {camera_name: ...}
       gripper_tensors,  # list of (1, 8) current gripper poses
       trajectories,     # list of (N_i, 8) dense inter-keyframe trajectories
+      camera_params,    # OPTIONAL 7th slot (repo extension): list of
+                        # {camera_name: {"intrinsics": (3,3), "extrinsics":
+                        # (4,4) cam->world}} enabling the depth H2D wire
+                        # (data/depthwire.py); reference readers index 0-5
+                        # and ignore it
   ]
 
 ``.dat`` files are blosc1 containers of a pickle (decoded by the native C++

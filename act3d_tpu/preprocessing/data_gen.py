@@ -37,7 +37,7 @@ def pack_demo(env: "RLBenchEnv", demo, cameras) -> List:
     key_frames = keypoint_discovery(demo)
     key_frames.insert(0, 0)
 
-    states, actions, attns, trajectories = [], [], [], []
+    states, actions, attns, cam_params, trajectories = [], [], [], [], []
     for i, kf in enumerate(key_frames):
         obs = demo._observations[kf]
         state_dict, action = env.get_obs_action(obs)
@@ -47,6 +47,21 @@ def pack_demo(env: "RLBenchEnv", demo, cameras) -> List:
         states.append(np.stack([rgb, pc], axis=1))  # (n_cam, 2, 3, H, W)
         actions.append(action[None])
         attns.append({cam: obs_to_attn(obs, cam) for cam in cameras})
+        # slot-7 pinhole params (repo extension): RLBench's misc carries
+        # per-camera K and the camera->world extrinsic the cloud was
+        # reprojected with — enables the 1-channel depth H2D wire
+        # (data/depthwire.py; cf. eval/rlbench_env.py:66-75 projection)
+        cam_params.append({
+            cam: {
+                "intrinsics": np.asarray(
+                    obs.misc[f"{cam}_camera_intrinsics"], np.float32
+                ),
+                "extrinsics": np.asarray(
+                    obs.misc[f"{cam}_camera_extrinsics"], np.float32
+                ),
+            }
+            for cam in cameras
+        })
         if i < len(key_frames) - 1:
             inter = []
             for j in range(kf, key_frames[i + 1] + 1):
@@ -62,6 +77,7 @@ def pack_demo(env: "RLBenchEnv", demo, cameras) -> List:
         attns[:-1],
         actions[:-1],  # current gripper poses
         trajectories,  # gripper->keypose trajectories
+        cam_params[:-1],  # slot-7 pinhole params (depth wire)
     ]
 
 

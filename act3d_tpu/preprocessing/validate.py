@@ -33,11 +33,15 @@ def count_episodes(dataset: Path, tasks, variations):
 
 def check_episode_schema(path: Path) -> bool:
     """Deep-check one episode against the 6-slot schema
-    (reference datasets/dataset_engine.py:139-149)."""
+    (reference datasets/dataset_engine.py:139-149); a 7th camera_params
+    slot (this repo's depth-wire extension, preprocessing/data_gen.py)
+    is accepted and length-checked when present."""
     ep = load_episode(path)
-    if ep is None or len(ep) != 6:
+    if ep is None or len(ep) not in (6, 7):
         return False
-    frame_ids, obs, actions, cam_dicts, grippers, trajs = ep
+    frame_ids, obs, actions, cam_dicts, grippers, trajs = ep[:6]
+    if len(ep) == 7 and len(ep[6]) != len(frame_ids):
+        return False
     n = len(frame_ids)
     ok = (
         len(obs) == n
