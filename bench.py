@@ -29,7 +29,7 @@ ASSUMED_A100_SAMPLES_PER_SEC = 80.0
 
 
 def build_diffusion(batch, ncam, size, traj_len, compute_dtype=None,
-                    augment=None):
+                    augment=None, instr_bank=None):
     from act3d_tpu.train.flagship import diffusion_loss_fn, make_diffusion_model
     from act3d_tpu.utils.testing import synthetic_trajectory_batch
 
@@ -47,13 +47,15 @@ def build_diffusion(batch, ncam, size, traj_len, compute_dtype=None,
         noise_rng=jax.random.PRNGKey(1),
     )
     return (
-        diffusion_loss_fn(model, compute_dtype, augment=augment),
+        diffusion_loss_fn(
+            model, compute_dtype, augment=augment, instr_bank=instr_bank
+        ),
         variables,
         data,
     )
 
 
-def build_act3d(batch, ncam, size, compute_dtype=None):
+def build_act3d(batch, ncam, size, compute_dtype=None, instr_bank=None):
     from act3d_tpu.train.flagship import keypose_loss_fn, make_keypose_model
     from act3d_tpu.train.losses import KeyposeLossAndMetrics
     from act3d_tpu.utils.testing import synthetic_keypose_batch
@@ -78,7 +80,10 @@ def build_act3d(batch, ncam, size, compute_dtype=None):
         sample_rng=jax.random.PRNGKey(1), gt_action=data["action"],
     )
     return (
-        keypose_loss_fn(model, KeyposeLossAndMetrics(), compute_dtype),
+        keypose_loss_fn(
+            model, KeyposeLossAndMetrics(), compute_dtype,
+            instr_bank=instr_bank,
+        ),
         variables,
         data,
     )
@@ -284,33 +289,30 @@ def bench_chained_eval(ncam, size, traj_len, steps):
         t0 = time.perf_counter()
         keystep(1 + i)
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times)) * 1000
-    print(
-        json.dumps(
-            {
-                "metric": "chained_keystep_latency_ms",
-                "value": round(dt, 2),
-                "unit": "ms",
-                "vs_baseline": round(dt, 2),
-            }
-        )
-    )
+    return float(np.median(times)) * 1000
 
 
 def bench_e2e(batch, ncam, size, traj_len, compute_dtype, steps=20, chains=3,
-              host_aug=None):
+              host_aug=None, model="diffusion", wire=None):
     """End-to-end training throughput with FRESH batches through the real
-    host pipeline: RLBenchDataset (warm cache) -> compact uint8/f16
+    host pipeline: RLBenchDataset (warm cache) -> compact uint8/u16
     encoding -> async DeviceFeeder -> jitted train step (VERDICT r2 #5:
     the e2e number belongs in the driver-captured bench next to the
     compute-only headline).  Methodology: k async-dispatched steps with
     ONE final block per chain (per-step blocking times the tunnel RTT,
     not the pipeline — BENCH_NOTES.md); median over chains.
 
-    On this 1-core tunneled VM the number is wire/host-bound (~45
-    samples/s at reference scale) — see BENCH_NOTES 'Input pipeline' for
-    the per-stage breakdown showing neither bound is a property of the
-    framework.  Returns samples/sec.
+    model: "diffusion" (trajectory training, scripts/train_trajectory.sh)
+    or "act3d" (keypose training, scripts/train_act3d.sh).
+    wire: "pcd" ships the XYZ image (u16 world coords); "depth" ships
+    1-channel u16 depth + pinhole params + resize index maps and rebuilds
+    the cloud in-jit (data/depthwire.py — exact), plus int32 instruction
+    ids against a device-resident bank; ~2x less wire on link-bound
+    hosts.  Default from BENCH_E2E_WIRE.
+
+    On this 1-core tunneled VM the number is wire/host-bound — see
+    BENCH_NOTES 'Input pipeline' for the per-stage breakdown showing
+    neither bound is a property of the framework.  Returns a result dict.
     """
     import tempfile
     from pathlib import Path
@@ -322,10 +324,11 @@ def bench_e2e(batch, ncam, size, traj_len, compute_dtype, steps=20, chains=3,
     from act3d_tpu.parallel.mesh import batch_sharding, make_mesh
     from act3d_tpu.train.engine import Trainer
 
-    keys = (
-        "trajectory", "trajectory_mask", "rgbs", "pcds", "instr",
-        "curr_gripper", "action",
-    )
+    if wire is None:
+        wire = os.environ.get("BENCH_E2E_WIRE", "depth")
+    drop = {"task", "curr_gripper_history"}
+    if model == "act3d":
+        drop |= {"trajectory", "trajectory_mask"}
     with tempfile.TemporaryDirectory() as tmp:
         tasks = ("pick_and_lift", "push_button")
         root = make_dataset_tree(
@@ -343,21 +346,34 @@ def bench_e2e(batch, ncam, size, traj_len, compute_dtype, steps=20, chains=3,
         # BENCH_E2E_HOST_AUG=0 measures the device-augment path.
         if host_aug is None:
             host_aug = os.environ.get("BENCH_E2E_HOST_AUG", "1") == "1"
-        ds = RLBenchDataset(
-            root,
-            instructions=make_instructions(tasks, (0,)),
-            taskvar=[(t, 0) for t in tasks],
-            cameras=CAMERAS[:ncam],  # fixture tree has ncam cameras
-            cache_size=100,
-            training=True,
-            image_rescale=(0.75, 1.25),
-            augment_host=host_aug,
-            return_low_lvl_trajectory=True,
-            dense_interpolation=True,
-            interpolation_length=traj_len,
-            action_dim=7,
-            seed=0,
-        )
+        if wire == "depth":
+            # the depth wire IS the host-augment path: the Resize rides
+            # as index maps and gathers on device (exact), so the
+            # device_augment variant does not apply
+            host_aug = True
+
+        def make_ds(aug):
+            return RLBenchDataset(
+                root,
+                instructions=make_instructions(tasks, (0,)),
+                taskvar=[(t, 0) for t in tasks],
+                cameras=CAMERAS[:ncam],  # fixture tree has ncam cameras
+                cache_size=100,
+                training=True,
+                image_rescale=(0.75, 1.25),
+                augment_host=aug,
+                return_low_lvl_trajectory=model == "diffusion",
+                dense_interpolation=True,
+                interpolation_length=traj_len,
+                action_dim=7,
+                seed=0,
+                wire=wire,
+                instr_mode="ids" if wire == "depth" else "features",
+            )
+
+        ds = make_ds(host_aug)
+        assert ds.wire == wire, "fixture episodes must ship camera params"
+        keys = [k for k in ds.sample_batch(2) if k not in drop]
         ds.sample_batch(batch)  # warm the episode cache
 
         augment = None
@@ -365,9 +381,16 @@ def bench_e2e(batch, ncam, size, traj_len, compute_dtype, steps=20, chains=3,
             from act3d_tpu.data.device_augment import make_device_augment
 
             augment = make_device_augment(image_rescale=(0.75, 1.25))
-        loss_fn, variables, _ = build_diffusion(
-            batch, ncam, size, traj_len, compute_dtype, augment=augment
-        )
+        if model == "act3d":
+            loss_fn, variables, _ = build_act3d(
+                batch, ncam, size, compute_dtype,
+                instr_bank=ds.instruction_bank,
+            )
+        else:
+            loss_fn, variables, _ = build_diffusion(
+                batch, ncam, size, traj_len, compute_dtype, augment=augment,
+                instr_bank=ds.instruction_bank,
+            )
         mesh = make_mesh(num_devices=1)
         trainer = Trainer(loss_fn, variables["params"], mesh=mesh)
 
@@ -425,20 +448,7 @@ def bench_e2e(batch, ncam, size, traj_len, compute_dtype, steps=20, chains=3,
             sample_ms = _median_ms(lambda: ds.sample_batch(batch), n=3)
             aug_ms = 0.0
             if host_aug:
-                ds_noaug = RLBenchDataset(
-                    root,
-                    instructions=make_instructions(tasks, (0,)),
-                    taskvar=[(t, 0) for t in tasks],
-                    cameras=CAMERAS[:ncam],
-                    cache_size=100,
-                    training=True,
-                    augment_host=False,
-                    return_low_lvl_trajectory=True,
-                    dense_interpolation=True,
-                    interpolation_length=traj_len,
-                    action_dim=7,
-                    seed=0,
-                )
+                ds_noaug = make_ds(False)
                 ds_noaug.sample_batch(batch)  # warm
                 noaug_ms = _median_ms(
                     lambda: ds_noaug.sample_batch(batch), n=3
@@ -449,6 +459,9 @@ def bench_e2e(batch, ncam, size, traj_len, compute_dtype, steps=20, chains=3,
             raw = {k: raw[k] for k in keys}
             compact_ms = _median_ms(lambda: compact_batch(raw))
             comp = compact_batch(raw)
+            wire_bytes = sum(
+                v.nbytes for v in comp.values() if hasattr(v, "nbytes")
+            )
             sharding = batch_sharding(mesh)
             h2d_ms = _median_ms(
                 lambda: jax.block_until_ready(
@@ -468,12 +481,14 @@ def bench_e2e(batch, ncam, size, traj_len, compute_dtype, steps=20, chains=3,
                 "host_augment_ms_per_batch": round(aug_ms, 1),
                 "compact_encode_ms_per_batch": round(compact_ms, 1),
                 "h2d_ms_per_batch": round(h2d_ms, 1),
+                "h2d_bytes_per_batch": int(wire_bytes),
                 "device_step_ms_blocked": round(step_ms, 1),
             }
             serial_ms = sample_ms + compact_ms + h2d_ms + step_ms
             e2e_ms = batch / sps * 1e3
             return {
                 "samples_per_sec": sps,
+                "wire": wire,
                 "chain_samples_per_sec": [round(s, 2) for s in chain_sps],
                 "stages_ms": stages,
                 # >1: the async feeder hides host/wire work behind device
@@ -515,22 +530,57 @@ def main():
     if kind == "act3d_eval":
         return bench_act3d_eval(ncam, size, max(steps // 2, 5))
     if kind == "chained_eval":
-        return bench_chained_eval(ncam, size, traj_len, max(steps // 10, 3))
+        dt = bench_chained_eval(ncam, size, traj_len, max(steps // 10, 3))
+        print(json.dumps({
+            "metric": "chained_keystep_latency_ms",
+            "value": round(dt, 2), "unit": "ms",
+            "vs_baseline": round(dt, 2),
+        }))
+        return
 
     compute_dtype = (
         jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" else None
     )
 
-    if kind == "e2e":
-        res = bench_e2e(batch, ncam, size, traj_len, compute_dtype)
+    if kind in ("e2e", "e2e_act3d"):
+        which = "act3d" if kind == "e2e_act3d" else "diffusion"
+        b = int(os.environ.get("BENCH_BATCH_ACT3D", "16")) \
+            if which == "act3d" else batch
+        res = bench_e2e(b, ncam, size, traj_len, compute_dtype, model=which)
         sps = res["samples_per_sec"]
         print(json.dumps({
-            "metric": "e2e_diffusion_train_samples_per_sec",
+            "metric": f"e2e_{which}_train_samples_per_sec",
             "value": round(sps, 3), "unit": "samples/sec",
             "vs_baseline": round(sps / ASSUMED_A100_SAMPLES_PER_SEC, 3),
+            "e2e_wire": res["wire"],
             "e2e_chain_samples_per_sec": res["chain_samples_per_sec"],
             "e2e_stages_ms": res["stages_ms"],
             "e2e_overlap_efficiency": res["overlap_efficiency"],
+        }))
+        return
+
+    if kind == "e2e_wire_ab":
+        # same-process A/B of the H2D wire encodings (cross-process chip
+        # drift swamps separate runs — BENCH_NOTES round 3)
+        pcd = bench_e2e(batch, ncam, size, traj_len, compute_dtype,
+                        wire="pcd")
+        dep = bench_e2e(batch, ncam, size, traj_len, compute_dtype,
+                        wire="depth")
+        print(json.dumps({
+            "metric": "e2e_diffusion_train_samples_per_sec_ab_wire",
+            "value": round(max(pcd["samples_per_sec"],
+                               dep["samples_per_sec"]), 3),
+            "unit": "samples/sec",
+            "vs_baseline": round(
+                max(pcd["samples_per_sec"], dep["samples_per_sec"])
+                / ASSUMED_A100_SAMPLES_PER_SEC, 3
+            ),
+            "wire_pcd": round(pcd["samples_per_sec"], 3),
+            "wire_depth": round(dep["samples_per_sec"], 3),
+            "wire_pcd_bytes": pcd["stages_ms"]["h2d_bytes_per_batch"],
+            "wire_depth_bytes": dep["stages_ms"]["h2d_bytes_per_batch"],
+            "wire_pcd_stages_ms": pcd["stages_ms"],
+            "wire_depth_stages_ms": dep["stages_ms"],
         }))
         return
 
@@ -553,8 +603,24 @@ def main():
         }))
         return
 
-    def bench_train(which, b):
-        """Median per-step time of the jitted train step (samples/sec)."""
+    def _bf16_peak_tflops():
+        """Chip bf16 peak from the device kind; None if unknown."""
+        kind = jax.devices()[0].device_kind
+        key = kind.lower().replace(" ", "").replace("-", "")
+        for tag, peak in (
+            ("v6", 918.0), ("trillium", 918.0), ("v5p", 459.0),
+            ("v5lite", 197.0), ("v5e", 197.0), ("v5", 459.0),
+            ("v4", 275.0), ("v3", 123.0), ("v2", 45.0),
+        ):
+            if tag in key:
+                return peak, kind
+        return None, kind
+
+    def bench_train(which, b, want_flops=False):
+        """Median per-step time of the jitted train step (samples/sec).
+        want_flops also returns XLA's analytic FLOPs for ONE optimizer
+        step (fwd+bwd+AdamW, Lowered.cost_analysis — no execution), for
+        the MFU fields (VERDICT r4 weak #5)."""
         # BENCH_DEVICE_AUGMENT=1 folds the in-jit augmentation into the
         # scanned diffusion step — isolates the device cost of
         # data/device_augment.py from the host/wire-bound e2e number.
@@ -580,6 +646,16 @@ def main():
         data = shard_batch(data, mesh)
         rng = jax.random.PRNGKey(2)
 
+        flops = None
+        if want_flops:
+            try:
+                ca = trainer._train_step.lower(
+                    trainer.state, data, jax.random.PRNGKey(9)
+                ).cost_analysis()
+                flops = float(ca.get("flops", 0.0)) or None
+            except Exception:
+                flops = None
+
         # The chip sits behind a tunnel whose per-dispatch RPC latency
         # (~30-100 ms, jittery) dwarfs the ~5-10 ms device step, so
         # per-call timing measures the link, not the chip.  Methodology:
@@ -602,7 +678,8 @@ def main():
             state, losses = scanned(state, data, jax.random.split(sub, CHAIN))
             float(losses[-1])  # completion marker
             times.append((time.perf_counter() - t0) / CHAIN)
-        return b / float(np.median(times))
+        sps = b / float(np.median(times))
+        return (sps, flops) if want_flops else sps
 
     if kind == "diffusion_ab_fused_dropout":
         # Same-process A/B of in-kernel attention dropout INCLUDING the
@@ -629,12 +706,13 @@ def main():
         return
 
     if kind in ("act3d_ab_projfold", "diffusion_ab_projfold"):
-        # Same-process A/B of the round-4 projection-fold package: head-dim
-        # pad folded into the q/k/v weights as zero columns (no per-site
-        # (B,N,E) pad copies + backward slices) and rotate_pairs as a dense
-        # ±1 matmul instead of the strided stack/reshape lane shuffle.
-        # Both env vars are read at trace time, so toggling between two
-        # bench_train calls compiles two distinct programs in one session.
+        # ISOLATED A/B of the head-pad projection fold (r4's bundle also
+        # flipped ACT3D_ROTARY_MATMUL — that lever now has its own
+        # *_ab_rotary mode).  The ON arm runs with the shrunken backward
+        # L-tile (ACT3D_BWD_L_TILE=64, overridable) — the r4 ON arm
+        # failed to compile at the 50x3074 site because the pre-padded
+        # 128-lane operands overflowed scoped VMEM at Lt=128
+        # (BENCH_NOTES "Projection-fold A/B").
         which = kind.split("_")[0]
         b = int(os.environ.get(
             "BENCH_BATCH_" + which.upper(), "32" if which == "act3d" else str(batch)
@@ -643,7 +721,7 @@ def main():
         os.environ["ACT3D_ROTARY_MATMUL"] = "0"
         off = bench_train(which, b)
         os.environ["ACT3D_FOLD_HEADPAD"] = "1"
-        os.environ["ACT3D_ROTARY_MATMUL"] = "1"
+        os.environ.setdefault("ACT3D_BWD_L_TILE", "64")
         on = bench_train(which, b)
         print(json.dumps({
             "metric": f"{which}_train_samples_per_sec_ab_projfold",
@@ -653,6 +731,32 @@ def main():
             ),
             "projfold_on": round(on, 3),
             "projfold_off": round(off, 3),
+            "projfold_on_bwd_l_tile": os.environ["ACT3D_BWD_L_TILE"],
+        }))
+        return
+
+    if kind in ("act3d_ab_rotary", "diffusion_ab_rotary"):
+        # ISOLATED A/B of ACT3D_ROTARY_MATMUL (VERDICT r4 next #5: the
+        # r4 projfold bundle never measured it alone): rotate_pairs as a
+        # dense +-1 pair-rotation matmul vs the strided stack/reshape
+        # lane shuffle (ops/rotary.py).
+        which = kind.split("_")[0]
+        b = int(os.environ.get(
+            "BENCH_BATCH_" + which.upper(),
+            "32" if which == "act3d" else str(batch),
+        ))
+        os.environ["ACT3D_ROTARY_MATMUL"] = "0"
+        off = bench_train(which, b)
+        os.environ["ACT3D_ROTARY_MATMUL"] = "1"
+        on = bench_train(which, b)
+        print(json.dumps({
+            "metric": f"{which}_train_samples_per_sec_ab_rotary_matmul",
+            "value": round(max(on, off), 3), "unit": "samples/sec",
+            "vs_baseline": round(
+                max(on, off) / ASSUMED_A100_SAMPLES_PER_SEC, 3
+            ),
+            "rotary_matmul_on": round(on, 3),
+            "rotary_matmul_off": round(off, 3),
         }))
         return
 
@@ -700,10 +804,11 @@ def main():
     # throughput 1 / (1/act3d + 1/diffusion): samples/sec pushing each
     # sample through BOTH trainings.  The A100 baseline for the same
     # pipeline is 1 / (2 / ASSUMED_A100_SAMPLES_PER_SEC) = 40 samples/s.
-    act3d_sps = bench_train(
-        "act3d", int(os.environ.get("BENCH_BATCH_ACT3D", "32"))
+    b_act3d = int(os.environ.get("BENCH_BATCH_ACT3D", "32"))
+    act3d_sps, act3d_flops = bench_train("act3d", b_act3d, want_flops=True)
+    diffusion_sps, diff_flops = bench_train(
+        "diffusion", batch, want_flops=True
     )
-    diffusion_sps = bench_train("diffusion", batch)
     pipeline_sps = 1.0 / (1.0 / act3d_sps + 1.0 / diffusion_sps)
     baseline_pipeline = ASSUMED_A100_SAMPLES_PER_SEC / 2.0
     record = {
@@ -722,6 +827,38 @@ def main():
             diffusion_sps / ASSUMED_A100_SAMPLES_PER_SEC, 3
         ),
     }
+    # MFU: XLA's analytic FLOPs for one optimizer step x measured
+    # steps/sec vs the chip's bf16 peak (VERDICT r4 weak #5: "actually
+    # fast" needs an absolute utilisation number, not just
+    # vs-assumed-A100).
+    peak, device_kind = _bf16_peak_tflops()
+    mfu = {"device_kind": device_kind,
+           "bf16_peak_tflops": peak,
+           "flops_source": "jax Lowered.cost_analysis (fwd+bwd+AdamW)"}
+    for name, flops_step, sps, b in (
+        ("act3d", act3d_flops, act3d_sps, b_act3d),
+        ("diffusion", diff_flops, diffusion_sps, batch),
+    ):
+        if flops_step:
+            achieved = flops_step * (sps / b) / 1e12
+            entry = {
+                "flops_per_step": flops_step,
+                "achieved_tflops": round(achieved, 2),
+            }
+            if peak:
+                entry["mfu"] = round(achieved / peak, 4)
+            mfu[name] = entry
+    record["mfu"] = mfu
+    # Serving latency of the chained policy keystep (Act3D keypose +
+    # goal-conditioned 100-step sampler as one jitted program; VERDICT
+    # r4 next #7 asks for it in the driver artifact each round).
+    if os.environ.get("BENCH_CHAINED", "1") == "1":
+        try:
+            record["chained_eval_keystep_ms"] = round(
+                bench_chained_eval(ncam, size, traj_len, 3), 2
+            )
+        except Exception as e:
+            record["chained_eval_error"] = f"{type(e).__name__}: {e}"[:200]
     # e2e-with-data alongside the compute-only headline (VERDICT r2 #5):
     # fresh batches through dataset -> compact H2D -> async feeder.
     if os.environ.get("BENCH_E2E", "1") == "1":
@@ -734,11 +871,28 @@ def main():
             )
             # per-stage attribution + run-to-run spread so the artifact
             # itself shows what bounds the e2e number (VERDICT r3 weak #1)
+            record["e2e_wire"] = res["wire"]
             record["e2e_chain_samples_per_sec"] = res["chain_samples_per_sec"]
             record["e2e_stages_ms"] = res["stages_ms"]
             record["e2e_overlap_efficiency"] = res["overlap_efficiency"]
         except Exception as e:  # never lose the headline to an e2e failure
             record["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
+        # the other trained model's with-data leg (VERDICT r4 next #6:
+        # keypose batches are the worst-case wire)
+        try:
+            res = bench_e2e(
+                int(os.environ.get("BENCH_E2E_BATCH_ACT3D", "16")),
+                ncam, size, traj_len, compute_dtype, model="act3d",
+            )
+            record["e2e_act3d_train_samples_per_sec"] = round(
+                res["samples_per_sec"], 3
+            )
+            record["e2e_act3d_stages_ms"] = res["stages_ms"]
+            record["e2e_act3d_overlap_efficiency"] = res[
+                "overlap_efficiency"
+            ]
+        except Exception as e:
+            record["e2e_act3d_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(record))
 
 
