@@ -42,7 +42,32 @@ _MAX_BWD_S = 8192
 # L-tile of the backward grid: keeps the per-tile (Lt, S) f32 score
 # temporaries inside the 16 MB scoped-vmem budget at S ≈ 3.2k (the
 # Mosaic stack holds ~3 such temporaries plus the f32 dk/dv accumulators).
+# ACT3D_BWD_L_TILE (trace-time env) overrides — the projection-fold
+# re-enable condition (BENCH_NOTES "Projection-fold A/B"): pre-padded
+# 128-lane operands push the S=3074 working set 716 KB over the scoped
+# limit at Lt=128; Lt=64 halves the (Lt, S) temporaries.  With dropout,
+# Lt < 128 is only allowed for L <= 128 (see _mha_bwd_body's block-bits
+# slice, which keeps the PRNG stream identical to the forward's).
 _BWD_L_TILE = 128
+
+
+def _bwd_l_tile(e: int = 0) -> int:
+    """Backward L-tile for lane width ``e`` (0 = unknown).
+
+    r5 chip A/Bs (BENCH_NOTES): Lt=64 alone costs ~4% (diffusion
+    616 vs 642); but with the head-pad FOLD on, the pre-padded e=128
+    operands overflow scoped VMEM at Lt=128/S≈3k and Lt=64 is the
+    enabler of the fold's +18% net — so the default shrinks only for
+    fold-padded full-tile widths.  ACT3D_BWD_L_TILE forces either way.
+    """
+    import os
+
+    env = os.environ.get("ACT3D_BWD_L_TILE")
+    if env is not None:
+        return int(env)
+    if os.environ.get("ACT3D_FOLD_HEADPAD", "0") == "1" and e >= 128:
+        return 64
+    return _BWD_L_TILE
 
 
 def _round_up(x: int, m: int) -> int:
@@ -58,21 +83,32 @@ def _round_up(x: int, m: int) -> int:
 _DROPOUT_L_TILE = 128
 
 
-def _dropout_keep(seed_ref, h, shape, rate):
+def _dropout_bits(seed_ref, h, shape, tile_id=None):
     # one folded scalar: this TPU toolchain's prng_set_seed lowering only
     # takes a single value.  Strides keep (batch, l_tile, head) triples
     # collision-free at any realistic grid (1000003 > 128 tiles * 7919;
-    # 7919 > 16 heads * 101).
+    # 7919 > 16 heads * 101).  tile_id overrides the grid position for
+    # callers whose row tile differs from the seeding block (the
+    # shrunken-Lt backward).
+    if tile_id is None:
+        tile_id = pl.program_id(1)
     pltpu.prng_seed(
         seed_ref[0]
         + pl.program_id(0) * 1000003
-        + pl.program_id(1) * 7919
+        + tile_id * 7919
         + h * 101
     )
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+
+
+def _keep_threshold(rate):
     # drop with probability `rate`: bits < rate * 2^32
-    threshold = jnp.uint32(min(int(rate * 2.0**32), 2**32 - 1))
-    return bits >= threshold
+    return jnp.uint32(min(int(rate * 2.0**32), 2**32 - 1))
+
+
+def _dropout_keep(seed_ref, h, shape, rate, tile_id=None):
+    bits = _dropout_bits(seed_ref, h, shape, tile_id)
+    return bits >= _keep_threshold(rate)
 
 
 def _apply_dropout(p, keep, rate):
@@ -291,7 +327,30 @@ def _mha_bwd_body(mask_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, stats_ref,
             s = jnp.where(mask_ref[0], jnp.float32(-1e30), s)
         ex = jnp.exp(s - m)  # (Lt, S); p = ex * r
         if rate > 0.0:
-            keep = _dropout_keep(seed_ref, h, ex.shape, rate)
+            if ex.shape[0] == _DROPOUT_L_TILE:
+                keep = _dropout_keep(seed_ref, h, ex.shape, rate)
+            else:
+                # Lt < the forward's seeding block (ACT3D_BWD_L_TILE
+                # shrink): regenerate the FULL 128-row block's bit stream
+                # and take this tile's row window, so the mask is
+                # bit-identical to the forward's.  The caller asserts
+                # l_pad <= _DROPOUT_L_TILE, so the block id is 0 for
+                # every backward tile.
+                full = _dropout_bits(
+                    seed_ref, h, (_DROPOUT_L_TILE, ex.shape[1]), tile_id=0
+                )
+                # dynamic_slice has no Pallas TPU lowering in this
+                # toolchain, and arith.select won't legalize on i1
+                # vectors — so: static row windows of the u32 bits, a
+                # scalar select between them, threshold after
+                lt_rows = ex.shape[0]
+                bits = full[:lt_rows]
+                for j in range(1, _DROPOUT_L_TILE // lt_rows):
+                    bits = jnp.where(
+                        pl.program_id(1) == j,
+                        full[j * lt_rows:(j + 1) * lt_rows], bits,
+                    )
+                keep = bits >= _keep_threshold(rate)
             ex_d = jnp.where(keep, ex, 0.0)
         else:
             ex_d = ex
@@ -455,10 +514,12 @@ def _fused_mha_fwd(q, k, v, num_heads, mask, l_tile, interpret,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "interpret", "dropout_rate"),
+    static_argnames=("num_heads", "interpret", "dropout_rate",
+                     "bwd_l_tile"),
 )
 def _fused_mha_bwd_impl(q, k, v, out, stats, mask, g, num_heads, interpret,
-                        dropout_rate=0.0, dropout_seed=None):
+                        dropout_rate=0.0, dropout_seed=None,
+                        bwd_l_tile=_BWD_L_TILE):
     b, l, e = q.shape
     s = k.shape[1]
     d = e // num_heads
@@ -474,7 +535,13 @@ def _fused_mha_bwd_impl(q, k, v, out, stats, mask, g, num_heads, interpret,
         ),
         axis=-1,
     )  # (B, L, H) f32
-    lt = min(_BWD_L_TILE, _round_up(l, 128))
+    lt = min(bwd_l_tile, _round_up(l, 128))
+    if dropout_rate > 0.0 and lt < _DROPOUT_L_TILE:
+        # the block-bits slice in _mha_bwd_body only reproduces the
+        # forward's mask when every backward tile sits inside the single
+        # 128-row seeding block — ignore the shrink for longer L
+        if _round_up(l, lt) > _DROPOUT_L_TILE:
+            lt = min(_DROPOUT_L_TILE, _round_up(l, 128))
     l_pad = _round_up(l, lt)
     if l_pad != l:
         q = jnp.pad(q, ((0, 0), (0, l_pad - l), (0, 0)))
@@ -603,9 +670,11 @@ def _fused_mha_bwd(num_heads, l_tile, interpret, dropout_rate, residuals, g):
         assert dropout_rate == 0.0
         dq, dk, dv = _fused_mha_bwd_jnp(q, k, v, mask, g, num_heads)
     else:
+        # the tile override is read OUTSIDE the jitted impl (whose trace
+        # cache would not see an env change) and threaded as a static arg
         dq, dk, dv = _fused_mha_bwd_impl(
             q, k, v, out, stats, mask, g, num_heads, interpret,
-            dropout_rate, dropout_seed,
+            dropout_rate, dropout_seed, bwd_l_tile=_bwd_l_tile(q.shape[-1]),
         )
     return dq, dk, dv, None, None
 

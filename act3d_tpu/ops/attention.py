@@ -159,15 +159,16 @@ def multi_head_attention(
     if use_fused:
         from ..kernels.attention import _head_pad_enabled, _round_up
 
-        # ACT3D_FOLD_HEADPAD=1 (trace-time) folds the head-dim pad into
+        # ACT3D_FOLD_HEADPAD (trace-time) folds the head-dim pad into
         # the q/k/v weights instead of padding around the kernel.  Ships
-        # OFF: at the diffusion 50x3074 site the pre-padded operands push
-        # the fused backward's scoped VMEM to 16.7M vs the 16M limit and
-        # the production-scale compile fails (measured 2026-08-20,
-        # BENCH_NOTES "Projection-fold A/B").  Values/grads are exact and
-        # unit-tested; re-enable once the backward's block sizes shrink
-        # under padded lanes.
-        fold_ok = os.environ.get("ACT3D_FOLD_HEADPAD", "0") == "1"
+        # ON since r5: the r4 blocker (scoped-VMEM OOM at the 50x3074
+        # site with pre-padded 128-lane operands) is solved by the
+        # width-aware backward L-tile (kernels/attention.py::_bwd_l_tile
+        # shrinks to 64 only for fold-padded e>=128).  Same-process chip
+        # A/Bs: diffusion 612.1 -> 723.7 samples/s (+18.2%), act3d
+        # 447.3 -> 455.0 (+1.7%) — BENCH_NOTES r5 "Projection-fold
+        # re-attempt".  =0 reverts to padding around the kernel.
+        fold_ok = os.environ.get("ACT3D_FOLD_HEADPAD", "1") == "1"
         if fold_ok and _head_pad_enabled(head_dim):
             # Fold the kernel's head-dim lane padding (d -> dp, zeros in
             # the pad lanes — exact) into the q/k/v projections as zero

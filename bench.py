@@ -721,7 +721,9 @@ def main():
         os.environ["ACT3D_ROTARY_MATMUL"] = "0"
         off = bench_train(which, b)
         os.environ["ACT3D_FOLD_HEADPAD"] = "1"
-        os.environ.setdefault("ACT3D_BWD_L_TILE", "64")
+        # the kernel auto-shrinks its backward L-tile for fold-padded
+        # full-tile widths (kernels/attention.py::_bwd_l_tile);
+        # ACT3D_BWD_L_TILE still forces both arms
         on = bench_train(which, b)
         print(json.dumps({
             "metric": f"{which}_train_samples_per_sec_ab_projfold",
@@ -731,7 +733,34 @@ def main():
             ),
             "projfold_on": round(on, 3),
             "projfold_off": round(off, 3),
-            "projfold_on_bwd_l_tile": os.environ["ACT3D_BWD_L_TILE"],
+            "projfold_on_bwd_l_tile": os.environ.get(
+                "ACT3D_BWD_L_TILE", "auto"
+            ),
+        }))
+        return
+
+    if kind in ("act3d_ab_bwdtile", "diffusion_ab_bwdtile"):
+        # ISOLATED A/B of the backward L-tile shrink (ACT3D_BWD_L_TILE)
+        # with the fold OFF — deconfounds the projfold A/B's +18% (its
+        # ON arm changes both the fold and the tile).
+        which = kind.split("_")[0]
+        b = int(os.environ.get(
+            "BENCH_BATCH_" + which.upper(),
+            "32" if which == "act3d" else str(batch),
+        ))
+        os.environ["ACT3D_FOLD_HEADPAD"] = "0"
+        os.environ["ACT3D_BWD_L_TILE"] = "128"
+        t128 = bench_train(which, b)
+        os.environ["ACT3D_BWD_L_TILE"] = "64"
+        t64 = bench_train(which, b)
+        print(json.dumps({
+            "metric": f"{which}_train_samples_per_sec_ab_bwdtile",
+            "value": round(max(t64, t128), 3), "unit": "samples/sec",
+            "vs_baseline": round(
+                max(t64, t128) / ASSUMED_A100_SAMPLES_PER_SEC, 3
+            ),
+            "bwd_l_tile_64": round(t64, 3),
+            "bwd_l_tile_128": round(t128, 3),
         }))
         return
 

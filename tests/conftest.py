@@ -7,18 +7,24 @@ JAX_PLATFORM_NAME + an explicit config update are authoritative.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# ACT3D_TEST_TPU=1 skips the CPU pin so the on-hardware checks
+# (tests/test_kernels_tpu.py) can reach the real chip:
+#   ACT3D_TEST_TPU=1 python -m pytest tests/test_kernels_tpu.py -q
+_want_tpu = os.environ.get("ACT3D_TEST_TPU") == "1"
+if not _want_tpu:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _want_tpu:
+    jax.config.update("jax_platforms", "cpu")
 
 from act3d_tpu.core.cache import enable_compilation_cache  # noqa: E402
 
@@ -27,7 +33,8 @@ enable_compilation_cache()
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-assert jax.devices()[0].platform == "cpu", jax.devices()
+if not _want_tpu:
+    assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
 def pytest_configure(config):

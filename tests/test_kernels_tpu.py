@@ -56,3 +56,36 @@ def test_fused_dropout_on_tpu(rng):
     np.testing.assert_allclose(
         float(jnp.sum(dv * vr)), float(jnp.sum(g * out)), rtol=1e-2
     )
+
+
+def test_bwd_l_tile_shrink_same_grads(rng, monkeypatch):
+    """ACT3D_BWD_L_TILE=64 must produce bit-identical grads at L <= 128:
+    the backward regenerates the forward's full 128-row dropout block and
+    slices its tile window (kernels/attention.py::_mha_bwd_body), so the
+    mask — and therefore dq/dk/dv — cannot drift.  This is the
+    projection-fold re-enable path (BENCH_NOTES 'Projection-fold A/B')."""
+    from act3d_tpu.kernels import attention as kmod
+
+    b, l, s, e, heads, rate = 2, 50, 320, 64, 4, 0.1
+    q = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32)) * 0.2
+    v = jnp.asarray(rng.normal(size=(b, s, e)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32))
+    seed = jnp.asarray([3], jnp.int32)
+
+    def grads(ltile):
+        monkeypatch.setenv("ACT3D_BWD_L_TILE", str(ltile))
+
+        def f(qq, kk, vv):
+            return kmod.fused_mha(
+                qq, kk, vv, heads, None, 512, False, rate, seed
+            )
+
+        out, vjp = jax.vjp(f, q, k, v)
+        return out, vjp(g)
+
+    out128, g128 = grads(128)
+    out64, g64 = grads(64)
+    np.testing.assert_array_equal(np.asarray(out128), np.asarray(out64))
+    for a, b_ in zip(g128, g64):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
