@@ -74,7 +74,9 @@ def visualize_episode(
     from ..data.episode import load_episode
 
     ep = load_episode(episode_path)
-    frame_ids, obs, actions, _, grippers, trajs = ep
+    # slots 0-5; episodes may carry the optional slot-7 camera_params
+    # (data/episode.py)
+    frame_ids, obs, actions, _, grippers, trajs = ep[:6]
     n = min(len(frame_ids), max_frames)
     ncam = obs[0].shape[0]
 
