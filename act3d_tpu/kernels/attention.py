@@ -51,6 +51,17 @@ _MAX_BWD_S = 8192
 _BWD_L_TILE = 128
 
 
+def fold_headpad_enabled() -> bool:
+    """ACT3D_FOLD_HEADPAD default (ON since r5, BENCH_NOTES
+    "Projection-fold re-attempt") — the single source of truth shared by
+    the ops-layer fold and the backward-tile rule below (an earlier
+    default mismatch left Lt=128 under folded e=128 operands and
+    resurrected the r4 scoped-VMEM OOM)."""
+    import os
+
+    return os.environ.get("ACT3D_FOLD_HEADPAD", "1") == "1"
+
+
 def _bwd_l_tile(e: int = 0) -> int:
     """Backward L-tile for lane width ``e`` (0 = unknown).
 
@@ -65,7 +76,7 @@ def _bwd_l_tile(e: int = 0) -> int:
     env = os.environ.get("ACT3D_BWD_L_TILE")
     if env is not None:
         return int(env)
-    if os.environ.get("ACT3D_FOLD_HEADPAD", "0") == "1" and e >= 128:
+    if fold_headpad_enabled() and e >= 128:
         return 64
     return _BWD_L_TILE
 

@@ -168,7 +168,9 @@ def multi_head_attention(
         # A/Bs: diffusion 612.1 -> 723.7 samples/s (+18.2%), act3d
         # 447.3 -> 455.0 (+1.7%) — BENCH_NOTES r5 "Projection-fold
         # re-attempt".  =0 reverts to padding around the kernel.
-        fold_ok = os.environ.get("ACT3D_FOLD_HEADPAD", "1") == "1"
+        from ..kernels.attention import fold_headpad_enabled
+
+        fold_ok = fold_headpad_enabled()
         if fold_ok and _head_pad_enabled(head_dim):
             # Fold the kernel's head-dim lane padding (d -> dp, zeros in
             # the pad lanes — exact) into the q/k/v projections as zero

@@ -28,6 +28,35 @@ import numpy as np
 ASSUMED_A100_SAMPLES_PER_SEC = 80.0
 
 
+def flops_for(which: str, batch: int, ncam: int = 3, size: int = 256,
+              traj_len: int = 50) -> float:
+    """XLA's analytic FLOPs for ONE optimizer step (fwd+bwd+AdamW).
+
+    Runs on the CPU backend (invoke in a JAX_PLATFORM_NAME=cpu
+    subprocess): the axon TPU client returns None from
+    Lowered.cost_analysis, the XLA:CPU one fills it.  FLOPs are a
+    property of the HLO, not the backend.
+    """
+    import jax.numpy as jnp
+
+    from act3d_tpu.parallel.mesh import make_mesh
+    from act3d_tpu.train.engine import Trainer
+
+    if which == "act3d":
+        loss_fn, variables, data = build_act3d(
+            batch, ncam, size, jnp.bfloat16
+        )
+    else:
+        loss_fn, variables, data = build_diffusion(
+            batch, ncam, size, traj_len, jnp.bfloat16
+        )
+    trainer = Trainer(loss_fn, variables["params"], mesh=make_mesh(1))
+    ca = trainer._train_step.lower(
+        trainer.state, data, jax.random.PRNGKey(9)
+    ).cost_analysis()
+    return float(ca.get("flops", 0.0)) if ca else 0.0
+
+
 def build_diffusion(batch, ncam, size, traj_len, compute_dtype=None,
                     augment=None, instr_bank=None):
     from act3d_tpu.train.flagship import diffusion_loss_fn, make_diffusion_model
@@ -588,10 +617,12 @@ def main():
         # same-process A/B of the two e2e pipelines — the tunneled chip's
         # session-to-session drift swamps cross-process comparisons
         # (BENCH_NOTES round 3: 18.4 vs 38.2 vs 14.0 across three hours)
+        # pinned to the XYZ wire: the depth wire has no separate
+        # device-augment variant (its index maps ARE the augmentation)
         host = bench_e2e(batch, ncam, size, traj_len, compute_dtype,
-                         host_aug=True)["samples_per_sec"]
+                         host_aug=True, wire="pcd")["samples_per_sec"]
         dev = bench_e2e(batch, ncam, size, traj_len, compute_dtype,
-                        host_aug=False)["samples_per_sec"]
+                        host_aug=False, wire="pcd")["samples_per_sec"]
         print(json.dumps({
             "metric": "e2e_diffusion_train_samples_per_sec_ab",
             "value": round(max(host, dev), 3), "unit": "samples/sec",
@@ -655,6 +686,28 @@ def main():
                 flops = float(ca.get("flops", 0.0)) or None
             except Exception:
                 flops = None
+            if flops is None:
+                # axon's Lowered.cost_analysis returns None — read the
+                # same HLO's flops from a CPU-backend subprocess
+                import subprocess
+                import sys
+
+                env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+                try:
+                    out = subprocess.run(
+                        [sys.executable, "-c",
+                         "import jax; "
+                         "jax.config.update('jax_platforms', 'cpu'); "
+                         "import bench; "
+                         f"print(bench.flops_for({which!r}, {b}, "
+                         f"{ncam}, {size}, {traj_len}))"],
+                        env=env, capture_output=True, text=True,
+                        timeout=900,
+                        cwd=os.path.dirname(os.path.abspath(__file__)),
+                    )
+                    flops = float(out.stdout.strip().splitlines()[-1])
+                except Exception:
+                    flops = None
 
         # The chip sits behind a tunnel whose per-dispatch RPC latency
         # (~30-100 ms, jittery) dwarfs the ~5-10 ms device step, so
