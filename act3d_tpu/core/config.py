@@ -73,6 +73,19 @@ class CommonConfig:
     # and decode inside the jitted step (data/compact.py): 2.6x less
     # host->device traffic at ~0.05 mm max pcd error.
     compact_transfer: int = 0
+    # H2D wire for the point-cloud modality (data/depthwire.py):
+    # "pcd" ships the XYZ image; "depth" ships 1-channel u16 depth +
+    # pinhole params (+ resize index maps, rotation folded into the
+    # extrinsic) and rebuilds the cloud in-jit — exact, ~2x less wire
+    # + the host stops touching pixels (chip A/B: e2e 32.9->84.3
+    # samples/s, BENCH_NOTES r5).  Requires slot-7 camera_params in the
+    # episodes (preprocessing/data_gen.py); falls back to "pcd" if the
+    # data is not pinhole-consistent.
+    wire: str = "pcd"
+    # "ids" ships int32 instruction-bank row indices instead of the
+    # repeated (B, 53, 512) features; the bank lives device-resident in
+    # the loss closure (train/flagship.py::_resolve_instr).
+    instr_mode: str = "features"
     # Run the train-time Resize/Rotate augmentations on the TPU inside the
     # jitted step (data/device_augment.py) instead of on the host
     # (reference datasets/utils.py:40-214 runs them in DataLoader

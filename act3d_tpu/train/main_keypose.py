@@ -71,6 +71,8 @@ def main(argv=None):
         return_low_lvl_trajectory=False,
         action_dim=8,
         seed=cfg.seed,
+        wire=cfg.wire,
+        instr_mode=cfg.instr_mode,
     )
     train_kwargs = dict(
         root=cfg.dataset, cache_size=cfg.cache_size, training=True,
@@ -131,15 +133,22 @@ def main(argv=None):
     )
 
     def to_model_batch(b):
-        return {
-            "rgbs": b["rgbs"],
-            "pcds": b["pcds"],
-            "instr": b["instr"],
-            "curr_gripper": b["curr_gripper"],
-            "action": b["action"],
-        }
+        # canonical keys plus whichever wire encodings the dataset emits
+        # (depth wire / instruction ids — data/depthwire.py); the loss
+        # fns expand them inside the jitted step
+        keys = (
+            "rgbs", "pcds", "instr", "curr_gripper", "action", "depth",
+            "cam_intr", "cam_c2w", "aug_rows", "aug_cols", "instr_id",
+        )
+        return {k: b[k] for k in keys if k in b}
 
-    example = to_model_batch(train_ds.sample_batch(cfg.batch_size))
+    from ..data.compact import expand_batch
+    from ..train.flagship import _resolve_instr
+
+    example = _resolve_instr(
+        expand_batch(to_model_batch(train_ds.sample_batch(cfg.batch_size))),
+        train_ds.instruction_bank,
+    )
     variables = model.init(
         jax.random.PRNGKey(cfg.seed),
         example["rgbs"], example["pcds"], example["instr"],
@@ -149,6 +158,8 @@ def main(argv=None):
     print("Model parameters:", count_parameters(variables["params"]))
 
     def metrics_fn(params, batch, rng):
+        batch = expand_batch(batch)
+        batch = _resolve_instr(batch, train_ds.instruction_bank)
         out = model.apply(
             {"params": params},
             batch["rgbs"], batch["pcds"], batch["instr"],
@@ -166,6 +177,12 @@ def main(argv=None):
     compute_dtype = jnp.bfloat16 if cfg.mixed_precision else None
     augment = None
     if cfg.device_augment:
+        if train_ds.wire == "depth":
+            raise ValueError(
+                "--device_augment does not compose with --wire depth: the "
+                "depth wire's resize index maps ARE the (host-drawn, "
+                "device-executed) augmentation"
+            )
         from ..data.device_augment import make_device_augment
 
         augment = make_device_augment(
@@ -185,6 +202,7 @@ def main(argv=None):
                 cfg.use_ground_truth_position_for_sampling_train
             ),
             augment=augment,
+            instr_bank=train_ds.instruction_bank,
         ),
         variables["params"],
         metrics_fn=metrics_fn,
@@ -239,7 +257,9 @@ def main(argv=None):
             if train_sampler is not None
             else train_ds.sample_batch(cfg.batch_size)
         )
-        if cfg.compact_transfer:
+        if cfg.compact_transfer or train_ds.wire == "depth":
+            # the depth wire implies the compact encodings (u16 depth /
+            # u8 rgb) — shipping f32 depth would waste its wire win
             from ..data.compact import compact_batch
 
             b = compact_batch(b)  # decoded inside the jitted step

@@ -47,6 +47,8 @@ def build_datasets(cfg: TrajectoryConfig, instruction):
         interpolation_length=cfg.interpolation_length,
         action_dim=cfg.action_dim,
         seed=cfg.seed,
+        wire=cfg.wire,
+        instr_mode=cfg.instr_mode,
     )
     train_kwargs = dict(
         root=cfg.dataset, cache_size=cfg.cache_size, training=True,
@@ -119,17 +121,23 @@ def main(argv=None):
     )
 
     def to_model_batch(b):
-        return {
-            "trajectory": b["trajectory"],
-            "trajectory_mask": b["trajectory_mask"],
-            "rgbs": b["rgbs"],
-            "pcds": b["pcds"],
-            "instr": b["instr"],
-            "curr_gripper": b["curr_gripper"],
-            "action": b["action"],
-        }
+        # canonical keys plus whichever wire encodings the dataset emits
+        # (depth wire / instruction ids — data/depthwire.py); the loss
+        # fns expand them inside the jitted step
+        keys = (
+            "trajectory", "trajectory_mask", "rgbs", "pcds", "instr",
+            "curr_gripper", "action", "depth", "cam_intr", "cam_c2w",
+            "aug_rows", "aug_cols", "instr_id",
+        )
+        return {k: b[k] for k in keys if k in b}
 
-    example = to_model_batch(train_ds.sample_batch(cfg.batch_size))
+    from ..data.compact import expand_batch
+    from ..train.flagship import _resolve_instr
+
+    example = _resolve_instr(
+        expand_batch(to_model_batch(train_ds.sample_batch(cfg.batch_size))),
+        train_ds.instruction_bank,
+    )
     variables = model.init(
         jax.random.PRNGKey(cfg.seed),
         example["trajectory"], example["trajectory_mask"], example["rgbs"],
@@ -147,6 +155,12 @@ def main(argv=None):
     compute_dtype = jnp.bfloat16 if cfg.mixed_precision else None
     augment = None
     if cfg.device_augment:
+        if train_ds.wire == "depth":
+            raise ValueError(
+                "--device_augment does not compose with --wire depth: the "
+                "depth wire's resize index maps ARE the (host-drawn, "
+                "device-executed) augmentation"
+            )
         from ..data.device_augment import make_device_augment
 
         augment = make_device_augment(
@@ -158,10 +172,13 @@ def main(argv=None):
     mesh = make_mesh(
         None if cfg.num_devices < 0 else cfg.num_devices, fsdp=cfg.fsdp
     )
+    instr_bank = train_ds.instruction_bank
     trainer = Trainer(
-        diffusion_loss_fn(model, compute_dtype, augment=augment),
+        diffusion_loss_fn(
+            model, compute_dtype, augment=augment, instr_bank=instr_bank
+        ),
         variables["params"],
-        metrics_fn=diffusion_metrics_fn(model),
+        metrics_fn=diffusion_metrics_fn(model, instr_bank=instr_bank),
         lr=cfg.lr,
         accumulate_grad_batches=cfg.accumulate_grad_batches,
         mesh=mesh,
@@ -192,7 +209,9 @@ def main(argv=None):
             if train_sampler is not None
             else train_ds.sample_batch(cfg.batch_size)
         )
-        if cfg.compact_transfer:
+        if cfg.compact_transfer or train_ds.wire == "depth":
+            # the depth wire implies the compact encodings (u16 depth /
+            # u8 rgb) — shipping f32 depth would waste its wire win
             from ..data.compact import compact_batch
 
             b = compact_batch(b)  # decoded inside the jitted step
@@ -215,7 +234,14 @@ def main(argv=None):
     )
 
     def run_sampler_eval(step_id, rng):
-        vb = to_model_batch(val_ds.sample_batch(cfg.batch_size_val))
+        # expand any wire encodings host-side: the sampler jit takes the
+        # canonical tensors
+        vb = _resolve_instr(
+            expand_batch(
+                to_model_batch(val_ds.sample_batch(cfg.batch_size_val))
+            ),
+            instr_bank,
+        )
         pred = sampler_fn(
             trainer.state.params, vb["trajectory_mask"], vb["rgbs"],
             vb["pcds"], vb["instr"], vb["curr_gripper"], vb["action"], rng,

@@ -64,8 +64,13 @@ def main():
         common += [
             "--fsdp", "2", "--num_workers", "2",
             "--compact_transfer", "1", "--mixed_precision", "1",
-            "--device_augment", "1",
         ]
+        if os.environ.get("DRIVE_WIRE", "pcd") == "depth":
+            # depth H2D wire + device-resident instruction bank
+            # (data/depthwire.py; excludes --device_augment by design)
+            common += ["--wire", "depth", "--instr_mode", "ids"]
+        else:
+            common += ["--device_augment", "1"]
 
     from act3d_tpu.train import main_keypose, main_trajectory
 
