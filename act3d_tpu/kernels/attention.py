@@ -62,14 +62,16 @@ def fold_headpad_enabled() -> bool:
     return os.environ.get("ACT3D_FOLD_HEADPAD", "1") == "1"
 
 
-def _bwd_l_tile(e: int = 0) -> int:
-    """Backward L-tile for lane width ``e`` (0 = unknown).
+def _bwd_l_tile(e: int = 0, s: int = 0) -> int:
+    """Backward L-tile for lane width ``e`` and context length ``s``.
 
-    r5 chip A/Bs (BENCH_NOTES): Lt=64 alone costs ~4% (diffusion
-    616 vs 642); but with the head-pad FOLD on, the pre-padded e=128
-    operands overflow scoped VMEM at Lt=128/S≈3k and Lt=64 is the
-    enabler of the fold's +18% net — so the default shrinks only for
-    fold-padded full-tile widths.  ACT3D_BWD_L_TILE forces either way.
+    r5 chip A/Bs (BENCH_NOTES): with the head-pad FOLD on, the
+    pre-padded e=128 operands overflow scoped VMEM at Lt=128/S≈3k, and
+    the shrunken tiles cost throughput (fold-tile A/B: Lt=96 = 779.3 vs
+    Lt=64 = 761.6 samples/s) — so the default picks the largest tile
+    that fits: 96 for fold-padded full-tile widths at the measured S
+    range, 64 beyond it (unmeasured S > 4096 where 96's margin is
+    unproven), 128 otherwise.  ACT3D_BWD_L_TILE forces either way.
     """
     import os
 
@@ -77,7 +79,7 @@ def _bwd_l_tile(e: int = 0) -> int:
     if env is not None:
         return int(env)
     if fold_headpad_enabled() and e >= 128:
-        return 64
+        return 96 if 0 < s <= 4096 else 64
     return _BWD_L_TILE
 
 
@@ -685,7 +687,8 @@ def _fused_mha_bwd(num_heads, l_tile, interpret, dropout_rate, residuals, g):
         # cache would not see an env change) and threaded as a static arg
         dq, dk, dv = _fused_mha_bwd_impl(
             q, k, v, out, stats, mask, g, num_heads, interpret,
-            dropout_rate, dropout_seed, bwd_l_tile=_bwd_l_tile(q.shape[-1]),
+            dropout_rate, dropout_seed,
+            bwd_l_tile=_bwd_l_tile(q.shape[-1], k.shape[1]),
         )
     return dq, dk, dv, None, None
 

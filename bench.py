@@ -817,6 +817,46 @@ def main():
         }))
         return
 
+    if kind in ("act3d_ab_foldtile", "diffusion_ab_foldtile"):
+        # With the fold ON (r5 default), compare backward L-tiles for
+        # the fold-padded sites: 64 (the known-safe default) vs
+        # BENCH_BWDTILE (e.g. 96 — the r4 OOM was only 652 KB over at
+        # 128, so 96 may fit and recover most of the ~4% tile penalty).
+        # The alt arm is allowed to fail compile; the failure is
+        # recorded, not fatal.
+        which = kind.split("_")[0]
+        b = int(os.environ.get(
+            "BENCH_BATCH_" + which.upper(),
+            "32" if which == "act3d" else str(batch),
+        ))
+        alt = os.environ.get("BENCH_BWDTILE", "96")
+        os.environ["ACT3D_FOLD_HEADPAD"] = "1"
+        os.environ["ACT3D_BWD_L_TILE"] = "64"
+        t64 = bench_train(which, b)
+        os.environ["ACT3D_BWD_L_TILE"] = alt
+        try:
+            t_alt = bench_train(which, b)
+        except Exception as e:
+            t_alt = None
+            print(json.dumps({
+                "metric": f"{which}_train_samples_per_sec_ab_foldtile",
+                "value": round(t64, 3), "unit": "samples/sec",
+                "vs_baseline": round(t64 / ASSUMED_A100_SAMPLES_PER_SEC, 3),
+                "fold_tile_64": round(t64, 3),
+                f"fold_tile_{alt}_error": f"{type(e).__name__}: {e}"[:300],
+            }))
+            return
+        print(json.dumps({
+            "metric": f"{which}_train_samples_per_sec_ab_foldtile",
+            "value": round(max(t64, t_alt), 3), "unit": "samples/sec",
+            "vs_baseline": round(
+                max(t64, t_alt) / ASSUMED_A100_SAMPLES_PER_SEC, 3
+            ),
+            "fold_tile_64": round(t64, 3),
+            f"fold_tile_{alt}": round(t_alt, 3),
+        }))
+        return
+
     if kind in ("act3d_ab_rotary", "diffusion_ab_rotary"):
         # ISOLATED A/B of ACT3D_ROTARY_MATMUL (VERDICT r4 next #5: the
         # r4 projfold bundle never measured it alone): rotate_pairs as a

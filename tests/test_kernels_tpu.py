@@ -58,12 +58,15 @@ def test_fused_dropout_on_tpu(rng):
     )
 
 
-def test_bwd_l_tile_shrink_same_grads(rng, monkeypatch):
-    """ACT3D_BWD_L_TILE=64 must produce bit-identical grads at L <= 128:
-    the backward regenerates the forward's full 128-row dropout block and
-    slices its tile window (kernels/attention.py::_mha_bwd_body), so the
-    mask — and therefore dq/dk/dv — cannot drift.  This is the
-    projection-fold re-enable path (BENCH_NOTES 'Projection-fold A/B')."""
+@pytest.mark.parametrize("ltile", [64, 96])
+def test_bwd_l_tile_shrink_same_grads(rng, monkeypatch, ltile):
+    """Shrunken backward L-tiles must produce bit-identical grads at
+    L <= 128: the backward regenerates the forward's full 128-row
+    dropout block and slices its tile window
+    (kernels/attention.py::_mha_bwd_body), so the mask — and therefore
+    dq/dk/dv — cannot drift.  This is the projection-fold enable path
+    (BENCH_NOTES r5 'Projection-fold re-attempt'; 96 is the fold-site
+    default, 64 the large-S fallback)."""
     from act3d_tpu.kernels import attention as kmod
 
     b, l, s, e, heads, rate = 2, 50, 320, 64, 4, 0.1
@@ -85,7 +88,7 @@ def test_bwd_l_tile_shrink_same_grads(rng, monkeypatch):
         return out, vjp(g)
 
     out128, g128 = grads(128)
-    out64, g64 = grads(64)
+    out64, g64 = grads(ltile)
     np.testing.assert_array_equal(np.asarray(out128), np.asarray(out64))
     for a, b_ in zip(g128, g64):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
