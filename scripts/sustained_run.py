@@ -68,6 +68,10 @@ def launch(tree, ipath, tasks, log_base):
         "--cache_size", "100", "--cache_size_val", "100",
         "--mixed_precision", "1", "--compact_transfer", "1",
         "--num_workers", "1", "--auto_resume", "1",
+        # SUSTAIN_WIRE=depth exercises the r5 depth H2D wire end-to-end
+        "--wire", os.environ.get("SUSTAIN_WIRE", "pcd"),
+        "--instr_mode",
+        "ids" if os.environ.get("SUSTAIN_WIRE") == "depth" else "features",
     ]
     return subprocess.Popen(
         cmd, cwd=str(REPO), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
