@@ -817,6 +817,29 @@ def main():
         }))
         return
 
+    if kind in ("act3d_ab_batch", "diffusion_ab_batch"):
+        # same-process batch-size probe at current defaults (HBM
+        # headroom: the reference batch is the parity point, not the
+        # chip's sweet spot — ROADMAP r1 #5)
+        which = kind.split("_")[0]
+        b1 = int(os.environ.get(
+            "BENCH_BATCH_" + which.upper(),
+            "32" if which == "act3d" else str(batch),
+        ))
+        b2 = int(os.environ.get("BENCH_BATCH_ALT", str(2 * b1)))
+        s1 = bench_train(which, b1)
+        s2 = bench_train(which, b2)
+        print(json.dumps({
+            "metric": f"{which}_train_samples_per_sec_ab_batch",
+            "value": round(max(s1, s2), 3), "unit": "samples/sec",
+            "vs_baseline": round(
+                max(s1, s2) / ASSUMED_A100_SAMPLES_PER_SEC, 3
+            ),
+            f"batch_{b1}": round(s1, 3),
+            f"batch_{b2}": round(s2, 3),
+        }))
+        return
+
     if kind in ("act3d_ab_foldtile", "diffusion_ab_foldtile"):
         # With the fold ON (r5 default), compare backward L-tiles for
         # the fold-padded sites: 64 (the known-safe default) vs
