@@ -121,16 +121,15 @@ def embed_rotary(
     # of silently promoting the score matmul to f32.
     code = code.astype(x.dtype)
     cos, sin = code[..., 0], code[..., 1]
-    # ACT3D_ROTARY_MATMUL=1 (trace-time): rotate_pairs as a dense matmul
+    # ACT3D_ROTARY_MATMUL (trace-time): rotate_pairs as a dense matmul
     # against a ±1 permutation matrix instead of the strided stack/reshape
-    # lane shuffle (which the r4 diffusion profile attributed ~1.4 ms/step
-    # over 96 sites).  Exact: each output lane is one signed copy of one
-    # input lane.  Ships OFF until measured on chip — the only full-scale
-    # attempt ran bundled with ACT3D_FOLD_HEADPAD, whose compile failure
-    # aborted the session before this lever got a number (BENCH_NOTES
-    # "Projection-fold A/B", 2026-08-20).  Callers passing ``rot``
-    # explicitly (the padded fold path) always use the matmul form.
-    if rot is None and os.environ.get("ACT3D_ROTARY_MATMUL", "0") != "1":
+    # lane shuffle.  Exact: each output lane is one signed copy of one
+    # input lane.  Ships ON since r5 — ISOLATED same-process chip A/Bs
+    # (BENCH_NOTES r5): act3d 456.8 vs 452.6 (+0.9%), diffusion 785.0 vs
+    # 776.1 (+1.1%); =0 reverts to the lane shuffle.  Callers passing
+    # ``rot`` explicitly (the padded fold path) always use the matmul
+    # form.
+    if rot is None and os.environ.get("ACT3D_ROTARY_MATMUL", "1") != "1":
         x2 = jnp.stack([-x[..., 1::2], x[..., ::2]], axis=-1).reshape(x.shape)
         return x * cos + x2 * sin
     if rot is None:
